@@ -1,0 +1,21 @@
+"""Test configuration: run everything on a virtual 8-device CPU platform.
+
+Multi-device sharding paths (DP/TP/SP) are exercised in CI without TPU pods via
+XLA host-platform device emulation, per SURVEY.md §4.
+"""
+
+import os
+
+# Force CPU: the machine env pins JAX_PLATFORMS=axon (remote TPU tunnel) and a
+# sitecustomize imports jax at interpreter start, so the env var alone is
+# captured too early to override here — use jax.config.update instead.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+assert jax.devices()[0].platform == "cpu"
