@@ -1,0 +1,156 @@
+"""Scorer configuration + pointsf/listsf dispatch.
+
+TPU-native counterpart of reference ptranking/base/adhoc_ranker.py:7-87
+(the sf_id switch), ptranking/base/point_ranker.py:30-55 (pointsf) and
+ptranking/base/list_ranker.py:303-378 (listsf). A scorer is a pure function
+pair: `init_scorer(key, cfg) -> params`, `apply_scorer(params, cfg, x, mask)
+-> scores [B, N]` — no module objects, no in-place state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ptranking_tpu.models.scorers.nn import Params, ffn_apply, ffn_init
+from ptranking_tpu.models.scorers import listsf as _listsf
+
+
+@dataclasses.dataclass(frozen=True)
+class ScorerConfig:
+    """Hyper-parameters of the scoring function.
+
+    Defaults mirror reference default_pointsf_para_dict (parameter.py:139-148:
+    num_layers=5, AF='GE', TL_AF='S', apply_tl_af=True, BN=True, bn_type='BN',
+    bn_affine=True) and default_listsf_para_dict (parameter.py:159-166).
+    """
+
+    sf_id: str = "pointsf"  # 'pointsf' | 'listsf'
+    num_features: int = 46
+    # --- pointsf ---
+    h_dim: int = 100
+    out_dim: int = 1
+    num_layers: int = 5
+    # --- shared FFN knobs ---
+    AF: str = "GE"
+    TL_AF: str = "S"
+    apply_tl_af: bool = True
+    BN: bool = True
+    bn_type: str = "BN"  # 'BN' (cross-batch stats) | 'BN2' (per-query stats)
+    bn_affine: bool = True
+    dropout: float = 0.1
+    # --- listsf ---
+    ff_dims: Tuple[int, ...] = (128, 256, 512)
+    n_heads: int = 2
+    encoder_layers: int = 6
+    encoder_type: str = "DASALC"  # DASALC | AllRank | AttnDIN
+
+    @property
+    def bn_per_query(self) -> bool:
+        return self.bn_type == "BN2"
+
+    @staticmethod
+    def default_listsf(num_features: int, **overrides) -> "ScorerConfig":
+        base = dict(
+            sf_id="listsf",
+            num_features=num_features,
+            AF="R",
+            TL_AF="GE",
+            apply_tl_af=False,
+            BN=False,
+            bn_type="BN2",
+            bn_affine=False,
+            ff_dims=(128, 256, 512),
+            n_heads=2,
+            encoder_layers=6,
+            encoder_type="DASALC",
+        )
+        base.update(overrides)
+        return ScorerConfig(**base)
+
+
+def init_scorer(key: jax.Array, cfg: ScorerConfig, dtype=jnp.float32) -> Params:
+    if cfg.sf_id.startswith("pointsf"):
+        ff_dims = [cfg.num_features] + [cfg.h_dim] * cfg.num_layers + [cfg.out_dim]
+        return {
+            "point_sf": ffn_init(
+                key, ff_dims, BN=cfg.BN, bn_affine=cfg.bn_affine, apply_tl_af=cfg.apply_tl_af, dtype=dtype
+            )
+        }
+    elif cfg.sf_id.startswith("listsf"):
+        k_head, k_enc, k_tail = jax.random.split(key, 3)
+        F = cfg.num_features
+        head_dims = [F, *cfg.ff_dims, F]
+        tail_dims = [F, *cfg.ff_dims, cfg.out_dim]
+        return {
+            # head FFN always ends with BN+AF (apply_tl_af=True with TL_AF=AF,
+            # reference list_ranker.py:312-317)
+            "head_ffnns": ffn_init(k_head, head_dims, BN=cfg.BN, bn_affine=cfg.bn_affine, apply_tl_af=True, dtype=dtype),
+            "encoder": _listsf.encoder_init(k_enc, F, cfg.encoder_layers, cfg.encoder_type, dtype),
+            "tail_ffnns": ffn_init(k_tail, tail_dims, BN=cfg.BN, bn_affine=cfg.bn_affine, apply_tl_af=cfg.apply_tl_af, dtype=dtype),
+        }
+    raise NotImplementedError(cfg.sf_id)
+
+
+def apply_scorer(
+    params: Params,
+    cfg: ScorerConfig,
+    x: jnp.ndarray,
+    mask: jnp.ndarray,
+    training: bool = False,
+    key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Score a padded batch: [B, N, F] -> [B, N]. Padded docs score garbage by
+    design — every consumer applies `mask`."""
+    if cfg.sf_id.startswith("pointsf"):
+        out = ffn_apply(
+            params["point_sf"], x, mask,
+            AF=cfg.AF, TL_AF=cfg.TL_AF, apply_tl_af=cfg.apply_tl_af,
+            BN=cfg.BN, bn_per_query=cfg.bn_per_query,
+            drop_rate=cfg.dropout, training=training, key=key,
+        )
+        return out[..., 0]
+
+    elif cfg.sf_id.startswith("listsf"):
+        if training and key is not None:
+            k_head, k_enc, k_tail = jax.random.split(key, 3)
+        else:
+            k_head = k_enc = k_tail = None
+
+        def head(v):
+            return ffn_apply(
+                params["head_ffnns"], v, mask,
+                AF=cfg.AF, TL_AF=cfg.AF, apply_tl_af=True,
+                BN=cfg.BN, bn_per_query=cfg.bn_per_query,
+                drop_rate=cfg.dropout, training=training, key=k_head,
+            )
+
+        def encode(v):
+            return _listsf.encoder_apply(
+                params["encoder"], v, mask, cfg.n_heads, cfg.encoder_type,
+                drop_rate=cfg.dropout, training=training, key=k_enc,
+            )
+
+        # Variant wiring mirrors reference ListNeuralRanker.forward
+        # (list_ranker.py:351-378).
+        if cfg.encoder_type == "AllRank":
+            combined = encode(head(x))
+        elif cfg.encoder_type == "DASALC":
+            combined = (encode(x) + 1.0) * head(x)  # latent cross
+        elif cfg.encoder_type == "AttnDIN":
+            combined = encode(head(x)) + x  # residual to raw features
+        else:
+            raise NotImplementedError(cfg.encoder_type)
+
+        out = ffn_apply(
+            params["tail_ffnns"], combined, mask,
+            AF=cfg.AF, TL_AF=cfg.TL_AF, apply_tl_af=cfg.apply_tl_af,
+            BN=cfg.BN, bn_per_query=cfg.bn_per_query,
+            drop_rate=cfg.dropout, training=training, key=k_tail,
+        )
+        return out[..., 0]
+
+    raise NotImplementedError(cfg.sf_id)

@@ -1,0 +1,95 @@
+"""Scorer tests: shapes, padding invariance, variant wiring.
+
+Padding invariance is THE invariant the reference never needed (it bins
+queries by equal length, reference data_utils.py:683-742): real-document
+scores must not change when padded slots are added or their contents mutate.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ptranking_tpu.models import ScorerConfig, init_scorer, apply_scorer
+
+
+def make_batch(key, B=3, N=8, F=12):
+    kx, km = jax.random.split(key)
+    x = jax.random.normal(kx, (B, N, F))
+    n_real = jnp.array([N, N - 3, N - 5])
+    mask = jnp.arange(N)[None, :] < n_real[:, None]
+    return x, mask
+
+
+@pytest.mark.parametrize("bn_type", ["BN", "BN2"])
+def test_pointsf_shapes_and_pad_invariance(bn_type):
+    key = jax.random.PRNGKey(0)
+    cfg = ScorerConfig(sf_id="pointsf", num_features=12, num_layers=3, h_dim=16, bn_type=bn_type)
+    x, mask = make_batch(key)
+    params = init_scorer(key, cfg)
+    scores = apply_scorer(params, cfg, x, mask)
+    assert scores.shape == (3, 8)
+
+    # mutate padded features wildly: real scores must be bit-identical
+    x2 = jnp.where(mask[..., None], x, 1e4)
+    scores2 = apply_scorer(params, cfg, x2, mask)
+    assert jnp.allclose(jnp.where(mask, scores, 0), jnp.where(mask, scores2, 0), atol=1e-5)
+
+
+@pytest.mark.parametrize("encoder_type", ["DASALC", "AllRank", "AttnDIN"])
+def test_listsf_shapes_and_pad_invariance(encoder_type):
+    key = jax.random.PRNGKey(1)
+    cfg = ScorerConfig.default_listsf(
+        num_features=12, ff_dims=(16, 16), encoder_layers=2, encoder_type=encoder_type
+    )
+    x, mask = make_batch(key)
+    params = init_scorer(key, cfg)
+    scores = apply_scorer(params, cfg, x, mask)
+    assert scores.shape == (3, 8)
+    assert bool(jnp.all(jnp.isfinite(jnp.where(mask, scores, 0.0))))
+
+    x2 = jnp.where(mask[..., None], x, -777.0)
+    scores2 = apply_scorer(params, cfg, x2, mask)
+    assert jnp.allclose(jnp.where(mask, scores, 0), jnp.where(mask, scores2, 0), atol=1e-4)
+
+
+def test_listsf_with_bn_pad_invariance():
+    # listsf grid also enables BN (parameter.py:248 choice_BN=[True] w/ BN2)
+    key = jax.random.PRNGKey(2)
+    cfg = ScorerConfig.default_listsf(
+        num_features=12, ff_dims=(16,), encoder_layers=1, BN=True, bn_type="BN2"
+    )
+    x, mask = make_batch(key)
+    params = init_scorer(key, cfg)
+    s1 = apply_scorer(params, cfg, x, mask)
+    s2 = apply_scorer(params, cfg, jnp.where(mask[..., None], x, 55.0), mask)
+    assert jnp.allclose(jnp.where(mask, s1, 0), jnp.where(mask, s2, 0), atol=1e-4)
+
+
+def test_dropout_only_active_in_training():
+    key = jax.random.PRNGKey(3)
+    cfg = ScorerConfig(sf_id="pointsf", num_features=12, num_layers=2, h_dim=16, dropout=0.5)
+    x, mask = make_batch(key)
+    params = init_scorer(key, cfg)
+    eval1 = apply_scorer(params, cfg, x, mask, training=False)
+    eval2 = apply_scorer(params, cfg, x, mask, training=False)
+    assert jnp.allclose(eval1, eval2)
+    tr1 = apply_scorer(params, cfg, x, mask, training=True, key=jax.random.PRNGKey(10))
+    tr2 = apply_scorer(params, cfg, x, mask, training=True, key=jax.random.PRNGKey(11))
+    assert not jnp.allclose(jnp.where(mask, tr1, 0), jnp.where(mask, tr2, 0))
+
+
+def test_scorer_is_jittable_and_grads_flow():
+    key = jax.random.PRNGKey(4)
+    cfg = ScorerConfig.default_listsf(num_features=12, ff_dims=(16,), encoder_layers=1)
+    x, mask = make_batch(key)
+    params = init_scorer(key, cfg)
+
+    @jax.jit
+    def loss(p):
+        s = apply_scorer(p, cfg, x, mask)
+        return jnp.sum(jnp.where(mask, s, 0.0) ** 2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+    assert any(bool(jnp.any(l != 0)) for l in leaves)
