@@ -1,0 +1,283 @@
+"""LTREvaluator: k-fold cross-validation experiment driver.
+
+Mirrors reference LTREvaluator (ptranking/ltr_adhoc/eval/ltr.py:37-583):
+load_data / load_ranker / setup_output / kfold_cv_eval / kfold_cv_reproduce /
+grid_run / point_run / run. The run directory encodes every setting in its
+name, as in the reference (ltr.py:181-226).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from ptranking_tpu.data import (
+    BucketedDataset,
+    load_letor_file,
+    make_synthetic_queries,
+    random_mask_all_labels,
+    random_mask_rele_labels,
+)
+from ptranking_tpu.data.meta import ISTELLA_LTR, SYNTHETIC, YAHOO_LTR
+from ptranking_tpu.eval.settings import DataSetting, EvalSetting, ModelSetting, SFSetting
+from ptranking_tpu.eval.tapes import CVTape, OptLossTape, SummaryTape, ValidationTape, get_opt_model
+from ptranking_tpu.train import AdhocRanker
+
+LTR_ADHOC_MODELS = [
+    "RankMSE", "RankNet", "LambdaRank", "ListNet", "STListNet", "ListMLE",
+    "RankCosine", "ApproxNDCG", "LambdaLoss", "SoftRank", "MDPRank",
+    "WassRank", "DASALC",
+]
+
+
+class LTREvaluator:
+    def __init__(self, cuda: Optional[int] = None):
+        self.cuda = cuda  # accepted for CLI parity; device selection is jax-global
+
+    # ----------------------------------------------------------- file layout
+
+    def determine_files(self, data_dict, fold_k: int) -> Tuple[str, Optional[str], str]:
+        """Fold file paths (reference determine_files, ltr.py:99-122)."""
+        data_id, dir_data = data_dict["data_id"], data_dict["dir_data"]
+        if data_id in YAHOO_LTR:
+            stem = data_id.lower()
+            return (os.path.join(dir_data, f"{stem}.train.txt"),
+                    os.path.join(dir_data, f"{stem}.valid.txt"),
+                    os.path.join(dir_data, f"{stem}.test.txt"))
+        if data_id in ISTELLA_LTR:
+            vali = os.path.join(dir_data, "vali.txt") if data_id in ("Istella_X", "Istella_S") else None
+            return os.path.join(dir_data, "train.txt"), vali, os.path.join(dir_data, "test.txt")
+        fold_dir = os.path.join(dir_data, f"Fold{fold_k}")
+        return (os.path.join(fold_dir, "train.txt"),
+                os.path.join(fold_dir, "vali.txt"),
+                os.path.join(fold_dir, "test.txt"))
+
+    def load_data(self, eval_dict, data_dict, fold_k: int):
+        """Build (train, test, vali) BucketedDatasets (reference load_data,
+        ltr.py:125-154)."""
+        data_id = data_dict["data_id"]
+        batch_docs = max(int(data_dict.get("tr_batch_size", 100)), 1)
+        common = dict(
+            min_docs=data_dict.get("min_docs"), min_rele=data_dict.get("min_rele", 1),
+            binary_rele=data_dict.get("binary_rele", False),
+            unknown_as_zero=data_dict.get("unknown_as_zero", False),
+            scale_data=data_dict.get("scale_data"), scaler_id=data_dict.get("scaler_id"),
+        )
+        if data_id in SYNTHETIC:
+            n = 60 if eval_dict.get("debug") else 400
+            meta_f = data_dict["num_features"]
+            mk = lambda seed: make_synthetic_queries(
+                num_queries=n, num_features=meta_f, seed=seed,
+                max_label=data_dict.get("max_rele_level") or 2,
+                max_docs=40 if meta_f == 46 else 120,
+            )
+            train_qs, vali_qs, test_qs = mk(fold_k), mk(1000 + fold_k), mk(2000 + fold_k)
+        else:
+            f_train, f_vali, f_test = self.determine_files(data_dict, fold_k)
+            train_qs = load_letor_file(f_train, data_id=data_id, presort=data_dict["train_presort"], **common)
+            test_qs = load_letor_file(f_test, data_id=data_id, presort=data_dict["test_presort"], **common)
+            vali_qs = (load_letor_file(f_vali, data_id=data_id, presort=data_dict["validation_presort"], **common)
+                       if (eval_dict["do_validation"] or eval_dict["do_summary"]) and f_vali else None)
+
+        if eval_dict.get("mask_label"):
+            masker = {"rand_mask_all": random_mask_all_labels,
+                      "rand_mask_rele": random_mask_rele_labels}[eval_dict["mask_type"]]
+            train_qs = masker(train_qs, eval_dict["mask_ratio"])
+
+        F = data_dict["num_features"]
+        train = BucketedDataset(train_qs, batch_docs=batch_docs, num_features=F)
+        test = BucketedDataset(test_qs, batch_docs=max(batch_docs, 2048), num_features=F)
+        vali = (BucketedDataset(vali_qs, batch_docs=max(batch_docs, 2048), num_features=F)
+                if vali_qs is not None else None)
+        return train, test, vali
+
+    # -------------------------------------------------------------- rankers
+
+    def load_ranker(self, sf_para, model_para_dict, label_type) -> AdhocRanker:
+        """Reference load_ranker (ltr.py:156-178), minus the reflection —
+        the registry covers the full implemented model set."""
+        model_id = model_para_dict["model_id"]
+        paras = {k: v for k, v in model_para_dict.items() if k != "model_id"}
+        return AdhocRanker(
+            model_id, sf_para["scorer"], model_paras=paras,
+            opt_cfg=sf_para["optimizer"], label_type=label_type,
+        )
+
+    # --------------------------------------------------------------- output
+
+    def setup_output(self, data_dict, eval_dict) -> str:
+        """Run dir whose name encodes every setting (reference setup_output,
+        ltr.py:181-226)."""
+        model_id = self.model_setting.model_id
+        dir_output = eval_dict["dir_output"]
+        dir_root = (os.path.join(dir_output, f"grid_{model_id}")
+                    if eval_dict.get("grid_search") else dir_output)
+        sf_str = self.sf_setting.to_para_string()
+        data_eval_str = "_".join([
+            self.data_setting.to_data_setting_string(),
+            self.eval_setting.to_eval_setting_string(),
+        ])
+        if eval_dict.get("mask_label"):
+            data_eval_str += f"_MaskLabel_Ratio_{eval_dict['mask_ratio']:g}"
+        prefix = "_".join([model_id, "SF", sf_str, data_eval_str])
+        if data_dict.get("scale_data"):
+            level = "QS" if data_dict.get("scaler_level") == "QUERY" else "DS"
+            prefix = "_".join([prefix, level, str(data_dict.get("scaler_id"))])
+        dir_run = os.path.join(dir_root, prefix)
+        model_str = self.model_setting.to_para_string()
+        if model_str:
+            dir_run = os.path.join(dir_run, model_str)
+        os.makedirs(dir_run, exist_ok=True)
+        return dir_run
+
+    # ------------------------------------------------------------- training
+
+    def kfold_cv_eval(self, data_dict, eval_dict, sf_para, model_para_dict) -> Dict[str, Any]:
+        """The main train loop (reference kfold_cv_eval, ltr.py:291-369)."""
+        model_id = model_para_dict["model_id"]
+        fold_num = data_dict["fold_num"]
+        epochs = eval_dict["epochs"]
+        do_vali = eval_dict["do_validation"]
+        cutoffs = eval_dict["cutoffs"]
+        dir_run = self.setup_output(data_dict, eval_dict)
+
+        # ApproxNDCG forces nDCG validation (reference uniform_eval_setting)
+        if model_id == "ApproxNDCG" and do_vali:
+            eval_dict["vali_metric"] = "nDCG"
+
+        cv_tape = CVTape(model_id, fold_num, cutoffs, do_vali)
+        for fold_k in range(1, fold_num + 1):
+            ranker = self.load_ranker(sf_para, model_para_dict, data_dict["label_type"])
+            ranker.seed = 137 + fold_k
+            ranker.init()
+            train, test, vali = self.load_data(eval_dict, data_dict, fold_k)
+            vali_tape = (ValidationTape(fold_k, epochs, eval_dict["vali_metric"],
+                                        eval_dict["vali_k"], dir_run) if do_vali else None)
+            summary_tape = (SummaryTape(do_vali, cutoffs, dir_run, fold_k)
+                            if eval_dict.get("do_summary") else None)
+            loss_tape = OptLossTape() if eval_dict.get("loss_guided") else None
+
+            for epoch_k in range(1, epochs + 1):
+                epoch_loss, stop = ranker.train_epoch(
+                    train.batches(shuffle=True, epoch=epoch_k), epoch_k=epoch_k
+                )
+                if stop:
+                    print("training is failed !")
+                    break
+                if do_vali and (epoch_k % eval_dict.get("log_step", 1) == 0 or epoch_k == 1):
+                    v = ranker.validation(vali.batches(), k=eval_dict["vali_k"],
+                                          metric=eval_dict["vali_metric"])
+                    vali_tape.epoch_validation(epoch_k, v, ranker)
+                    if summary_tape:
+                        summary_tape.epoch_summary(epoch_loss, v)
+                elif summary_tape:
+                    summary_tape.epoch_summary(epoch_loss)
+                if loss_tape and loss_tape.epoch_cmp_loss(epoch_loss):
+                    break
+
+            if do_vali:
+                ranker.load(vali_tape.get_optimal_path())
+                vali_tape.clear_fold_buffer()
+            else:
+                ranker.save(os.path.join(dir_run, f"Fold-{fold_k}", "net_params_latest.pkl"))
+            if summary_tape:
+                summary_tape.fold_summary()
+            cv_tape.fold_evaluation(ranker, test.batches(), fold_k)
+
+        return cv_tape.get_cv_performance()
+
+    def kfold_cv_reproduce(self, data_dict, eval_dict, sf_para, model_para_dict):
+        """Reload fold-optimal checkpoints, re-evaluate (reference
+        kfold_cv_reproduce, ltr.py:265-288)."""
+        model_id = model_para_dict["model_id"]
+        fold_num = data_dict["fold_num"]
+        dir_run = self.setup_output(data_dict, eval_dict)
+        cv_tape = CVTape(model_id, fold_num, eval_dict["cutoffs"], eval_dict["do_validation"])
+        for fold_k in range(1, fold_num + 1):
+            ranker = self.load_ranker(sf_para, model_para_dict, data_dict["label_type"])
+            ranker.init()
+            ckpt = get_opt_model(os.path.join(dir_run, f"Fold-{fold_k}"))
+            assert ckpt, f"no checkpoint for fold {fold_k} under {dir_run}"
+            ranker.load(ckpt)
+            _, test, _ = self.load_data(eval_dict, data_dict, fold_k)
+            cv_tape.fold_evaluation(ranker, test.batches(), fold_k)
+        return cv_tape.get_cv_performance()
+
+    # ------------------------------------------------------------ dispatch
+
+    def set_settings(self, debug, model_id, sf_id, data_id, dir_data, dir_output, dir_json):
+        if dir_json:
+            data_eval_sf_json = os.path.join(dir_json, "Data_Eval_ScoringFunction.json")
+            para_json = os.path.join(dir_json, f"{model_id}Parameter.json")
+            self.data_setting = DataSetting(debug, data_json=data_eval_sf_json)
+            self.eval_setting = EvalSetting(debug, eval_json=data_eval_sf_json)
+            self.sf_setting = SFSetting(debug, sf_id=sf_id, sf_json=data_eval_sf_json)
+            self.model_setting = ModelSetting(model_id, debug, para_json=para_json)
+        else:
+            self.data_setting = DataSetting(debug, data_id=data_id, dir_data=dir_data)
+            self.eval_setting = EvalSetting(debug, dir_output=dir_output)
+            self.sf_setting = SFSetting(debug, sf_id=sf_id)
+            self.model_setting = ModelSetting(model_id, debug)
+
+    def point_run(self, debug=False, model_id=None, sf_id="pointsf", data_id=None,
+                  dir_data=None, dir_output="./output", dir_json=None, reproduce=False):
+        """Single-setting run (reference point_run, ltr.py:483-518)."""
+        self.set_settings(debug, model_id, sf_id, data_id, dir_data, dir_output, dir_json)
+        data_dict = self.data_setting.default_setting()
+        eval_dict = self.eval_setting.default_setting()
+        sf_para = self.sf_setting.default_setting(data_dict["num_features"])
+        model_para = {"model_id": model_id, **self.model_setting.default_para_dict()}
+        if reproduce:
+            return self.kfold_cv_reproduce(data_dict, eval_dict, sf_para, model_para)
+        return self.kfold_cv_eval(data_dict, eval_dict, sf_para, model_para)
+
+    def grid_run(self, debug=False, model_id=None, sf_id="pointsf", data_id=None,
+                 dir_data=None, dir_output="./output", dir_json=None):
+        """Grid search over data x eval x sf x model settings (reference
+        grid_run, ltr.py:521-565)."""
+        self.set_settings(debug, model_id, sf_id, data_id, dir_data, dir_output, dir_json)
+        best_value, best_setting, best_perf = -np.inf, None, None
+        for data_dict in self.data_setting.grid_search():
+            for eval_dict in self.eval_setting.grid_search():
+                for sf_para in self.sf_setting.grid_search(data_dict["num_features"]):
+                    for model_para in self.model_setting.grid_search():
+                        mp = {"model_id": model_id, **model_para}
+                        perf = self.kfold_cv_eval(data_dict, eval_dict, sf_para, mp)
+                        k_idx = eval_dict["cutoffs"].index(eval_dict.get("vali_k") or 5) \
+                            if (eval_dict.get("vali_k") or 5) in eval_dict["cutoffs"] else 0
+                        val = float(perf["nDCG"][k_idx])
+                        if val > best_value:
+                            best_value = val
+                            best_setting = (dict(data_dict), dict(eval_dict), sf_para, mp)
+                            best_perf = perf
+        if best_setting is not None:
+            self._log_max(best_setting, best_value)
+        return best_perf
+
+    def _log_max(self, setting, value):
+        """Record the best grid setting (reference log_max, ltr.py:253-263)."""
+        data_dict, eval_dict, sf_para, model_para = setting
+        dir_output = eval_dict["dir_output"]
+        os.makedirs(dir_output, exist_ok=True)
+        path = os.path.join(dir_output, f"{data_dict['data_id']}_{sf_para['scorer'].sf_id}_max.txt")
+        with open(path, "w") as f:
+            f.write(f"best nDCG@vali_k: {value:.6f}\n")
+            f.write(f"model: {model_para}\nscorer: {sf_para['scorer']}\n")
+            f.write(f"optimizer: {sf_para['optimizer']}\ndata: {data_dict}\n")
+
+    def run(self, debug=False, model_id=None, sf_id="pointsf", config_with_json=False,
+            dir_json=None, data_id=None, dir_data=None, dir_output="./output",
+            grid_search=False, reproduce=False):
+        """Entry point (reference run, ltr.py:568-583): json mode always grid."""
+        assert model_id in LTR_ADHOC_MODELS, f"{model_id!r} not in {LTR_ADHOC_MODELS}"
+        if config_with_json:
+            assert dir_json is not None
+            if reproduce:
+                return self.point_run(debug, model_id, sf_id, dir_json=dir_json, reproduce=True)
+            return self.grid_run(debug, model_id, sf_id, dir_json=dir_json)
+        if grid_search:
+            return self.grid_run(debug, model_id, sf_id, data_id, dir_data, dir_output)
+        return self.point_run(debug, model_id, sf_id, data_id, dir_data, dir_output,
+                              reproduce=reproduce)

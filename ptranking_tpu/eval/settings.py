@@ -1,0 +1,352 @@
+"""Three-source configuration: CLI -> JSON -> dataclass defaults.
+
+Mirrors the reference parameter system (ptranking/ltr_adhoc/eval/parameter.py:
+DataSetting :514-648, EvalSetting :374-511, ScoringFunctionParameter :74-371,
+per-model <Model>Parameter classes) including the JSON schema, so reference
+config files (Data_Eval_ScoringFunction.json + <Model>Parameter.json) run
+unmodified. JSON list values are grid axes; `default` takes element [0].
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+from typing import Any, Dict, Iterator, List, Optional
+
+from ptranking_tpu.data.meta import get_data_meta, get_scaler_setting
+from ptranking_tpu.models import ScorerConfig
+from ptranking_tpu.train.optimizer import OptimizerConfig
+
+
+def _first(v):
+    return v[0] if isinstance(v, list) else v
+
+
+# --------------------------------------------------------------------- data
+
+
+class DataSetting:
+    """Reference DataSetting (parameter.py:514-648)."""
+
+    def __init__(self, debug=False, data_id=None, dir_data=None, data_json=None):
+        self.debug = debug
+        self.use_json = data_json is not None
+        if self.use_json:
+            with open(data_json) as f:
+                self.json_dict = json.load(f)["DataSetting"]
+            self.data_id = self.json_dict["data_id"]
+            self.dir_data = self.json_dict["dir_data"]
+        else:
+            self.json_dict = {}
+            self.data_id = data_id
+            self.dir_data = dir_data
+        self.data_dict: Dict[str, Any] = {}
+
+    def _base(self) -> Dict[str, Any]:
+        meta = get_data_meta(self.data_id)
+        scale_data, scaler_id, scaler_level = get_scaler_setting(
+            self.data_id, _first(self.json_dict.get("scaler_id"))
+        )
+        return dict(
+            data_id=self.data_id,
+            dir_data=self.dir_data,
+            num_features=meta.num_features,
+            has_comment=meta.has_comment,
+            label_type=meta.label_type,
+            max_rele_level=meta.max_rele_level,
+            fold_num=2 if self.debug else meta.fold_num,
+            scale_data=scale_data,
+            scaler_id=scaler_id,
+            scaler_level=scaler_level,
+            train_presort=True,
+            validation_presort=True,
+            test_presort=True,
+        )
+
+    def default_setting(self) -> Dict[str, Any]:
+        d = self._base()
+        j = self.json_dict
+        d.update(
+            min_docs=_first(j.get("min_docs", 10)),
+            min_rele=_first(j.get("min_rele", 1)),
+            binary_rele=_first(j.get("binary_rele", False)),
+            unknown_as_zero=_first(j.get("unknown_as_zero", False)),
+            # reference default train_rough_batch_size=100 docs (parameter.py:590);
+            # on TPU a batch should fill the chip — tr_batch_size here is DOCS/batch.
+            tr_batch_size=_first(j.get("tr_batch_size", 100)),
+        )
+        self.data_dict = d
+        return d
+
+    def grid_search(self) -> Iterator[Dict[str, Any]]:
+        j = self.json_dict
+        choices = dict(
+            min_docs=j.get("min_docs", [10]),
+            min_rele=j.get("min_rele", [1]),
+            binary_rele=j.get("binary_rele", [False]),
+            unknown_as_zero=j.get("unknown_as_zero", [False]),
+            tr_batch_size=j.get("tr_batch_size", [100]),
+        )
+        keys = list(choices)
+        for combo in itertools.product(*(choices[k] if isinstance(choices[k], list) else [choices[k]] for k in keys)):
+            d = self._base()
+            d.update(dict(zip(keys, combo)))
+            self.data_dict = d
+            yield d
+
+    def to_data_setting_string(self, log=False) -> str:
+        d = self.data_dict
+        s1 = ":" if log else "_"
+        parts = [d["data_id"], s1.join(["MiD", str(d["min_docs"])]), s1.join(["MiR", str(d["min_rele"])]),
+                 s1.join(["TrBat", str(d["tr_batch_size"])])]
+        if d.get("binary_rele"):
+            parts.append("BiRele")
+        if d.get("unknown_as_zero"):
+            parts.append("UO")
+        return "_".join(parts)
+
+
+# --------------------------------------------------------------------- eval
+
+
+class EvalSetting:
+    """Reference EvalSetting (parameter.py:374-511)."""
+
+    def __init__(self, debug=False, dir_output=None, eval_json=None):
+        self.debug = debug
+        self.use_json = eval_json is not None
+        if self.use_json:
+            with open(eval_json) as f:
+                self.json_dict = json.load(f)["EvalSetting"]
+            self.dir_output = self.json_dict["dir_output"]
+        else:
+            self.json_dict = {}
+            self.dir_output = dir_output
+        self.eval_dict: Dict[str, Any] = {}
+
+    def default_setting(self) -> Dict[str, Any]:
+        j = self.json_dict
+        mask = j.get("mask", {})
+        epochs = _first(j.get("epochs", 5 if self.debug else 100))
+        do_validation = _first(j.get("do_validation", True))
+        d = dict(
+            debug=self.debug,
+            grid_search=False,
+            dir_output=self.dir_output,
+            epochs=epochs,
+            do_validation=do_validation,
+            vali_k=_first(j.get("vali_k", 5)) if do_validation else None,
+            vali_metric=_first(j.get("vali_metric", "nDCG")) if do_validation else None,
+            cutoffs=j.get("cutoffs", [1, 3, 5, 10, 20, 50]),
+            do_log=_first(j.get("do_log", not self.debug)),
+            log_step=_first(j.get("log_step", 1)),
+            do_summary=_first(j.get("do_summary", False)),
+            loss_guided=_first(j.get("loss_guided", False)),
+            mask_label=_first(mask.get("mask_label", False)),
+            mask_type=_first(mask.get("mask_type", "rand_mask_all")),
+            mask_ratio=_first(mask.get("mask_ratio", 0.2)),
+        )
+        self.eval_dict = d
+        return d
+
+    def grid_search(self) -> Iterator[Dict[str, Any]]:
+        d = self.default_setting()
+        d["grid_search"] = True
+        if self.debug:
+            d["epochs"] = 5
+        mask = self.json_dict.get("mask", {})
+        if d["mask_label"]:
+            types = mask.get("mask_type", ["rand_mask_all"])
+            ratios = mask.get("mask_ratio", [0.2])
+            for t, r in itertools.product(types, ratios):
+                d2 = dict(d, mask_type=t, mask_ratio=r)
+                self.eval_dict = d2
+                yield d2
+        else:
+            self.eval_dict = d
+            yield d
+
+    def to_eval_setting_string(self, log=False) -> str:
+        d = self.eval_dict
+        s1 = ":" if log else "_"
+        if d["do_validation"]:
+            return s1.join(["EP", str(d["epochs"]), "V", f"{d['vali_metric']}@{d['vali_k']}"])
+        return s1.join(["epochs", str(d["epochs"])])
+
+
+# ----------------------------------------------------------------- scorer
+
+
+class SFSetting:
+    """Reference ScoringFunctionParameter (parameter.py:74-371): pointsf and
+    listsf defaults/grids + optimizer choice, yielding ScorerConfig +
+    OptimizerConfig pairs."""
+
+    def __init__(self, debug=False, sf_id="pointsf", sf_json=None):
+        self.debug = debug
+        self.sf_id = sf_id
+        self.use_json = sf_json is not None
+        if self.use_json:
+            with open(sf_json) as f:
+                self.json_dict = json.load(f)["SFParameter"]
+            self.sf_id = self.json_dict.get("sf_id", sf_id)
+        else:
+            self.json_dict = {}
+        self.sf_para: Dict[str, Any] = {}
+
+    def default_setting(self, num_features: int):
+        j = self.json_dict
+        sub = j.get(self.sf_id, {})
+        if self.sf_id.startswith("pointsf"):
+            # defaults: parameter.py:139-148
+            cfg = ScorerConfig(
+                sf_id="pointsf", num_features=num_features,
+                num_layers=_first(sub.get("layers", 5)),
+                AF=_first(sub.get("AF", "GE")), TL_AF=_first(sub.get("TL_AF", "S")),
+                apply_tl_af=_first(sub.get("apply_tl_af", True)),
+                BN=_first(sub.get("BN", True)), bn_type=_first(sub.get("bn_type", "BN")),
+                bn_affine=_first(sub.get("bn_affine", True)),
+            )
+            opt = OptimizerConfig(opt=_first(j.get("opt", "Adam")), lr=_first(j.get("lr", 1e-4)))
+        else:
+            # defaults: parameter.py:152-166
+            cfg = ScorerConfig.default_listsf(
+                num_features,
+                ff_dims=tuple(sub.get("ff_dims", [128, 256, 512])),
+                AF=_first(sub.get("AF", "R")), TL_AF=_first(sub.get("TL_AF", "GE")),
+                apply_tl_af=_first(sub.get("apply_tl_af", False)),
+                BN=_first(sub.get("BN", False)), bn_type=_first(sub.get("bn_type", "BN2")),
+                bn_affine=_first(sub.get("bn_affine", False)),
+                n_heads=_first(sub.get("n_heads", 2)),
+                encoder_layers=_first(sub.get("encoder_layers", 6)),
+                encoder_type=_first(sub.get("encoder_type", "DASALC")),
+            )
+            opt = OptimizerConfig(opt=_first(j.get("opt", "Adagrad")), lr=_first(j.get("lr", 1e-3)))
+        self.sf_para = {"scorer": cfg, "optimizer": opt}
+        return self.sf_para
+
+    def grid_search(self, num_features: int):
+        j = self.json_dict
+        sub = j.get(self.sf_id, {})
+        opts = j.get("opt", ["Adam"]) if self.sf_id.startswith("pointsf") else j.get("opt", ["Adagrad"])
+        lrs = j.get("lr", [1e-4] if self.sf_id.startswith("pointsf") else [1e-3])
+        if self.sf_id.startswith("pointsf"):
+            axes = dict(
+                layers=sub.get("layers", [5]), AF=sub.get("AF", ["GE"]),
+                TL_AF=sub.get("TL_AF", ["S"]), apply_tl_af=sub.get("apply_tl_af", [True]),
+                BN=sub.get("BN", [True]), bn_type=sub.get("bn_type", ["BN"]),
+                bn_affine=sub.get("bn_affine", [True]),
+            )
+            for opt, lr in itertools.product(opts, lrs):
+                keys = list(axes)
+                for combo in itertools.product(*(axes[k] for k in keys)):
+                    c = dict(zip(keys, combo))
+                    cfg = ScorerConfig(
+                        sf_id="pointsf", num_features=num_features, num_layers=c["layers"],
+                        AF=c["AF"], TL_AF=c["TL_AF"], apply_tl_af=c["apply_tl_af"],
+                        BN=c["BN"], bn_type=c["bn_type"], bn_affine=c["bn_affine"],
+                    )
+                    self.sf_para = {"scorer": cfg, "optimizer": OptimizerConfig(opt=opt, lr=lr)}
+                    yield self.sf_para
+        else:
+            axes = dict(
+                AF=sub.get("AF", ["R"]), TL_AF=sub.get("TL_AF", sub.get("tl_af", ["GE"])),
+                apply_tl_af=sub.get("apply_tl_af", [False]), BN=sub.get("BN", [False]),
+                bn_type=sub.get("bn_type", ["BN2"]), bn_affine=sub.get("bn_affine", [False]),
+                n_heads=sub.get("n_heads", [2]), encoder_layers=sub.get("encoder_layers", [6]),
+                encoder_type=sub.get("encoder_type", ["DASALC"]),
+            )
+            ff_dims = tuple(sub.get("ff_dims", [128, 256, 512]))
+            for opt, lr in itertools.product(opts, lrs):
+                keys = list(axes)
+                for combo in itertools.product(*(axes[k] for k in keys)):
+                    c = dict(zip(keys, combo))
+                    cfg = ScorerConfig.default_listsf(num_features, ff_dims=ff_dims, **c)
+                    self.sf_para = {"scorer": cfg, "optimizer": OptimizerConfig(opt=opt, lr=lr)}
+                    yield self.sf_para
+
+    def to_para_string(self, log=False) -> str:
+        cfg: ScorerConfig = self.sf_para["scorer"]
+        opt: OptimizerConfig = self.sf_para["optimizer"]
+        n_layers = cfg.num_layers if cfg.sf_id.startswith("pointsf") else len(cfg.ff_dims)
+        tl = cfg.TL_AF if cfg.apply_tl_af else "No"
+        parts = [cfg.AF + str(n_layers) + tl, opt.opt, f"Lr{opt.lr:g}"]
+        if cfg.BN:
+            parts.append(cfg.bn_type)
+        if not cfg.sf_id.startswith("pointsf"):
+            parts.append(f"{cfg.encoder_type}E{cfg.encoder_layers}H{cfg.n_heads}")
+        return "_".join(parts)
+
+
+# ----------------------------------------------------------------- model
+
+
+# Grid-search axes per model (non-debug defaults mirror each reference
+# <Model>Parameter.grid_search; JSON overrides).
+MODEL_GRIDS: Dict[str, Dict[str, List[Any]]] = {
+    "RankMSE": {},
+    "RankNet": {"sigma": [1.0]},
+    "LambdaRank": {"sigma": [1.0]},
+    "ListNet": {},
+    "STListNet": {"temperature": [1.0]},
+    "ListMLE": {},
+    "RankCosine": {},
+    "ApproxNDCG": {"alpha": [10.0]},
+    "LambdaLoss": {"loss_type": ["NDCG_Loss2"], "k": [5], "sigma": [1.0], "mu": [5.0]},
+    "SoftRank": {"delta": [1.0], "top_k": [None], "metric": ["nDCG"]},
+    "MDPRank": {"distribution": ["PL"], "temperature": [1.0], "gamma": [1.0], "top_k": [None]},
+    "WassRank": {"mode": ["SinkhornOT"], "sh_itr": [20], "lam": [0.1], "cost_type": ["eg"],
+                 "smooth_type": ["ST"], "norm_type": ["BothST"], "non_rele_gap": [100],
+                 "var_penalty": [2.718281828459045], "gain_base": [4]},
+    "DASALC": {},
+}
+
+
+class ModelSetting:
+    """Per-model hyper-parameter defaults/grids (reference ModelParameter,
+    parameter.py:39-71 + each model file's Parameter class)."""
+
+    def __init__(self, model_id: str, debug=False, para_json=None):
+        self.model_id = model_id
+        self.debug = debug
+        self.use_json = para_json is not None and os.path.exists(para_json or "")
+        if self.use_json:
+            with open(para_json) as f:
+                self.json_dict = json.load(f).get(model_id, {})
+        else:
+            self.json_dict = {}
+        from ptranking_tpu.losses import DEFAULT_PARAS
+
+        self.defaults = dict(DEFAULT_PARAS[model_id])
+        self.para_dict: Dict[str, Any] = {}
+
+    def default_para_dict(self) -> Dict[str, Any]:
+        d = dict(self.defaults)
+        for k, v in self.json_dict.items():
+            d[k] = _first(v)
+        self.para_dict = d
+        return d
+
+    def grid_search(self) -> Iterator[Dict[str, Any]]:
+        axes = {k: (v if isinstance(v, list) else [v]) for k, v in MODEL_GRIDS[self.model_id].items()}
+        for k, v in self.json_dict.items():
+            axes[k] = v if isinstance(v, list) else [v]
+        if not axes:
+            self.para_dict = dict(self.defaults)
+            yield self.para_dict
+            return
+        keys = list(axes)
+        for combo in itertools.product(*(axes[k] for k in keys)):
+            d = dict(self.defaults)
+            d.update(dict(zip(keys, combo)))
+            self.para_dict = d
+            yield d
+
+    def to_para_string(self, log=False) -> str:
+        if not self.para_dict:
+            return ""
+        skip = {"metric", "norm_type"}
+        parts = [f"{k}{v:g}" if isinstance(v, float) else f"{k}{v}"
+                 for k, v in sorted(self.para_dict.items()) if k not in skip and v is not None]
+        return "_".join(parts)

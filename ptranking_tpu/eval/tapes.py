@@ -1,0 +1,137 @@
+"""Tape recorders: validation checkpointing, CV aggregation, epoch summaries.
+
+Mirrors reference ValidationTape (parameter.py:654-699), CVTape (:702-833),
+SummaryTape (:835-882), OptLossTape (:884-902).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import pickle
+import re
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+class ValidationTape:
+    """Tracks the best validation metric per fold; saves/loads the optimal
+    checkpoint (reference ValidationTape, parameter.py:654-699)."""
+
+    def __init__(self, fold_k: int, num_epochs: int, validation_metric: str,
+                 validation_k: int, dir_run: str):
+        self.fold_k = fold_k
+        self.num_epochs = num_epochs
+        self.metric = validation_metric
+        self.k = validation_k
+        self.dir_fold = os.path.join(dir_run, f"Fold-{fold_k}") + os.sep
+        os.makedirs(self.dir_fold, exist_ok=True)
+        self.best_value = -np.inf
+        self.best_epoch = 0
+
+    def epoch_validation(self, epoch_k: int, metric_value: float, ranker) -> bool:
+        if metric_value > self.best_value:
+            self.best_value = metric_value
+            self.best_epoch = epoch_k
+            ranker.save(os.path.join(self.dir_fold, f"net_params_epoch_{epoch_k}.pkl"))
+            return True
+        return False
+
+    def get_optimal_path(self) -> str:
+        return os.path.join(self.dir_fold, f"net_params_epoch_{self.best_epoch}.pkl")
+
+    def clear_fold_buffer(self):
+        """Delete all but the optimal checkpoint (reference clear_fold_buffer,
+        parameter.py:685-699)."""
+        keep = os.path.basename(self.get_optimal_path())
+        for p in glob.glob(os.path.join(self.dir_fold, "net_params_epoch_*.pkl")):
+            if os.path.basename(p) != keep:
+                os.remove(p)
+
+
+def get_opt_model(dir_fold: str) -> Optional[str]:
+    """Natural-sort newest checkpoint (reference get_opt_model,
+    metric_utils.py:61-86)."""
+    paths = glob.glob(os.path.join(dir_fold, "net_params_epoch_*.pkl"))
+    if not paths:
+        return None
+
+    def key(p):
+        m = re.search(r"epoch_(\d+)", p)
+        return int(m.group(1)) if m else -1
+
+    return max(paths, key=key)
+
+
+class CVTape:
+    """Aggregates fold test metrics into CV means (reference CVTape,
+    parameter.py:702-833)."""
+
+    METRICS = ("nDCG", "nERR", "AP", "P")
+
+    def __init__(self, model_id: str, fold_num: int, cutoffs: List[int], do_validation: bool):
+        self.model_id = model_id
+        self.fold_num = fold_num
+        self.cutoffs = list(cutoffs)
+        self.do_validation = do_validation
+        self.per_fold: Dict[str, List[np.ndarray]] = {m: [] for m in self.METRICS}
+        self.t0 = time.time()
+
+    def fold_evaluation(self, ranker, test_batches, fold_k: int):
+        out = ranker.evaluate(test_batches, ks=tuple(self.cutoffs))
+        for m in self.METRICS:
+            self.per_fold[m].append(np.asarray(out[m]))
+        ndcg_str = ", ".join(f"nDCG@{k}:{v:.4f}" for k, v in zip(self.cutoffs, out["nDCG"]))
+        print(f"\n Fold-{fold_k} {self.model_id} on test: {ndcg_str}")
+
+    def get_cv_performance(self) -> Dict[str, np.ndarray]:
+        elapsed = time.time() - self.t0
+        means = {m: np.mean(np.stack(v), axis=0) for m, v in self.per_fold.items()}
+        print(f"\n{self.model_id} {self.fold_num}-fold CV ({elapsed:.1f}s):")
+        for m in self.METRICS:
+            row = ", ".join(f"{m}@{k}:{v:.4f}" for k, v in zip(self.cutoffs, means[m]))
+            print(" ", row)
+        means["elapsed_s"] = np.asarray(elapsed)
+        return means
+
+
+class SummaryTape:
+    """Per-epoch loss/train/vali tracks pickled per fold (reference
+    SummaryTape, parameter.py:835-882)."""
+
+    def __init__(self, do_validation: bool, cutoffs: List[int], dir_run: str, fold_k: int):
+        self.do_validation = do_validation
+        self.fold_k = fold_k
+        self.dir_run = dir_run
+        self.list_epoch_loss: List[float] = []
+        self.list_fold_k_vali_track: List[float] = []
+
+    def epoch_summary(self, epoch_loss: float, vali_value: Optional[float] = None):
+        self.list_epoch_loss.append(float(epoch_loss))
+        if vali_value is not None:
+            self.list_fold_k_vali_track.append(float(vali_value))
+
+    def fold_summary(self):
+        path = os.path.join(self.dir_run, f"fold_{self.fold_k}_summary.pkl")
+        with open(path, "wb") as f:
+            pickle.dump(
+                {"epoch_loss": self.list_epoch_loss, "vali_track": self.list_fold_k_vali_track}, f
+            )
+
+
+class OptLossTape:
+    """Loss-guided early stop (reference OptLossTape, parameter.py:884-902)."""
+
+    def __init__(self):
+        self.best_loss = np.inf
+        self.stuck = 0
+
+    def epoch_cmp_loss(self, epoch_loss: float, patience: int = 10) -> bool:
+        if epoch_loss < self.best_loss - 1e-8:
+            self.best_loss = epoch_loss
+            self.stuck = 0
+            return False
+        self.stuck += 1
+        return self.stuck >= patience

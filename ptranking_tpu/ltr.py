@@ -1,0 +1,42 @@
+"""CLI entry: python -m ptranking_tpu.ltr -model LambdaRank -data SyntheticMQ ...
+
+Mirrors reference pt_ranking.py:69-87 + ArgsUtil (utils/args/argsUtil.py:11-37).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ptranking_tpu.eval import LTR_ADHOC_MODELS, LTREvaluator
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("ptranking_tpu")
+    # reference flags (argsUtil.py:19-29)
+    p.add_argument("-cuda", type=int, default=None, help="device ordinal (jax-global; accepted for parity)")
+    p.add_argument("-model", type=str, required=True, choices=LTR_ADHOC_MODELS)
+    p.add_argument("-debug", action="store_true", help="shrink epochs/folds for a quick check")
+    p.add_argument("-dir_json", type=str, default=None, help="dir with Data_Eval_ScoringFunction.json")
+    # direct (non-json) configuration
+    p.add_argument("-sf_id", type=str, default="pointsf", choices=["pointsf", "listsf"])
+    p.add_argument("-data", dest="data_id", type=str, default=None)
+    p.add_argument("-dir_data", type=str, default=None)
+    p.add_argument("-dir_output", type=str, default="./output")
+    p.add_argument("-grid", action="store_true", help="grid search")
+    p.add_argument("-reproduce", action="store_true", help="reload fold-optimal checkpoints and re-evaluate")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    evaluator = LTREvaluator(cuda=args.cuda)
+    return evaluator.run(
+        debug=args.debug, model_id=args.model, sf_id=args.sf_id,
+        config_with_json=args.dir_json is not None, dir_json=args.dir_json,
+        data_id=args.data_id, dir_data=args.dir_data, dir_output=args.dir_output,
+        grid_search=args.grid, reproduce=args.reproduce,
+    )
+
+
+if __name__ == "__main__":
+    main()

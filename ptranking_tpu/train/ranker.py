@@ -1,0 +1,209 @@
+"""AdhocRanker: the train/predict/evaluate/save/load lifecycle.
+
+TPU-native counterpart of reference NeuralRanker + the Evaluator mixin
+(ptranking/base/ranker.py:28-697). Key re-design decisions:
+
+  * One jitted train step serves every model: the loss is a pure function from
+    the registry, so `step(state, batch, key) -> (state, loss)` is traced once
+    per (bucket shape, model) and cached. Params/opt-state buffers are donated.
+  * The reference's per-batch .to(device)/.cpu() metric loops
+    (base/ranker.py:31-65) become fully on-device evaluation
+    (metrics.adhoc.evaluate_all_at_ks); only [B,K] scalars are fetched.
+  * NaN/all-zero stop guard (reference stop_training, base/ranker.py:547-561)
+    is computed on-device as one boolean and fetched every stop_check_freq
+    epochs.
+  * Checkpoints serialize params AND optimizer state (the reference saves only
+    state_dict, so it cannot resume mid-training — SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import pickle
+from typing import Any, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ptranking_tpu import LTR_SEED
+from ptranking_tpu.losses import DEFAULT_PARAS, REQUIRES_LISTSF, STOCHASTIC, get_loss
+from ptranking_tpu.metrics.adhoc import evaluate_all_at_ks
+from ptranking_tpu.models import ScorerConfig, apply_scorer, init_scorer
+from ptranking_tpu.train.optimizer import OptimizerConfig, epoch_lr, make_optimizer, set_lr
+from ptranking_tpu.types import LabelType, RankingBatch
+
+
+class AdhocRanker:
+    """A (scorer config, loss fn, optimizer) triple with a compiled step cache."""
+
+    stop_check_freq = 10  # reference base/ranker.py:496
+
+    def __init__(
+        self,
+        model_id: str,
+        scorer_cfg: ScorerConfig,
+        model_paras: Optional[Dict[str, Any]] = None,
+        opt_cfg: Optional[OptimizerConfig] = None,
+        label_type: LabelType = LabelType.MultiLabel,
+        seed: int = LTR_SEED,
+    ):
+        if model_id in REQUIRES_LISTSF and not scorer_cfg.sf_id.startswith("listsf"):
+            scorer_cfg = ScorerConfig.default_listsf(scorer_cfg.num_features)
+        self.model_id = model_id
+        self.scorer_cfg = scorer_cfg
+        self.loss_fn = get_loss(model_id)
+        self.model_paras = {**DEFAULT_PARAS[model_id], **(model_paras or {})}
+        self.opt_cfg = opt_cfg or OptimizerConfig()
+        self.label_type = label_type
+        self.seed = seed
+        self.stochastic = model_id in STOCHASTIC
+        self.params = None
+        self.opt_state = None
+        self._key = None
+        self._optimizer = None
+
+    # ------------------------------------------------------------------ init
+
+    def init(self):
+        """(Re)build scorer params and optimizer state — the reference calls
+        this per fold (point_ranker.py:17-19)."""
+        self._key = jax.random.PRNGKey(self.seed)
+        self._key, sub = jax.random.split(self._key)
+        self.params = init_scorer(sub, self.scorer_cfg)
+        self._optimizer = make_optimizer(self.opt_cfg)
+        self.opt_state = self._optimizer.init(self.params)
+        self._compiled_step = self._build_step()
+        self._compiled_predict = self._build_predict()
+        self._compiled_eval = self._build_eval()
+        return self
+
+    def _build_step(self):
+        scorer_cfg, loss_fn, paras = self.scorer_cfg, self.loss_fn, self.model_paras
+        label_type, stochastic = self.label_type, self.stochastic
+        optimizer = self._optimizer
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(params, opt_state, key, features, labels, mask):
+            k_drop, k_loss = jax.random.split(key)
+
+            def loss_of(p):
+                scores = apply_scorer(p, scorer_cfg, features, mask, training=True, key=k_drop)
+                kw = {"key": k_loss} if stochastic else {}
+                return loss_fn(scores, labels, mask, label_type=label_type, **paras, **kw)
+
+            loss, grads = jax.value_and_grad(loss_of)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+            return params, opt_state, loss
+
+        return step
+
+    def _build_predict(self):
+        scorer_cfg = self.scorer_cfg
+
+        @jax.jit
+        def predict(params, features, mask):
+            return apply_scorer(params, scorer_cfg, features, mask, training=False)
+
+        return predict
+
+    def _build_eval(self):
+        scorer_cfg, label_type = self.scorer_cfg, self.label_type
+
+        @functools.partial(jax.jit, static_argnums=(4,))
+        def eval_batch(params, features, labels, mask, ks):
+            scores = apply_scorer(params, scorer_cfg, features, mask, training=False)
+            out = evaluate_all_at_ks(scores, labels, mask, ks, label_type)
+            # per-batch SUMS (host divides by total query count at the end)
+            sums = {m: jnp.sum(out[m], axis=0) for m in ("nDCG", "nERR", "AP", "P")}
+            sums["count"] = jnp.asarray(out["nDCG"].shape[0], jnp.float32)
+            return sums
+
+        return eval_batch
+
+    # ----------------------------------------------------------------- train
+
+    def train_epoch(self, batches: Iterable[RankingBatch], epoch_k: int = 1) -> Tuple[float, bool]:
+        """One epoch; returns (mean loss per query, stop_training).
+
+        Mirrors reference NeuralRanker.train/train_op (base/ranker.py:565-603):
+        per-epoch StepLR lr, per-batch optimizer step, NaN/zero guard every
+        stop_check_freq epochs.
+        """
+        self.opt_state = set_lr(self.opt_state, epoch_lr(self.opt_cfg, epoch_k))
+        total_loss, num_queries = 0.0, 0
+        check = (epoch_k % self.stop_check_freq) == 0
+        for batch in batches:
+            self._key, sub = jax.random.split(self._key)
+            if check:
+                scores = self._compiled_predict(self.params, batch.features, batch.mask)
+                finite = jnp.all(jnp.isfinite(jnp.where(batch.mask, scores, 0.0)))
+                nonzero = jnp.any(jnp.where(batch.mask, scores, 0.0) != 0.0)
+                if not bool(finite) or not bool(nonzero):
+                    return float("nan"), True
+            self.params, self.opt_state, loss = self._compiled_step(
+                self.params, self.opt_state, sub, batch.features, batch.labels, batch.mask
+            )
+            total_loss += float(loss)
+            num_queries += int(np.sum(np.asarray(batch.mask).any(axis=-1)))
+        return total_loss / max(num_queries, 1), False
+
+    def predict(self, batch: RankingBatch) -> jnp.ndarray:
+        return self._compiled_predict(self.params, batch.features, batch.mask)
+
+    # ------------------------------------------------------------------ eval
+
+    def evaluate(self, batches: Iterable[RankingBatch], ks=(1, 3, 5, 10, 20, 50)) -> Dict[str, np.ndarray]:
+        """Dataset-level metric means (reference adhoc_performance_at_ks,
+        base/ranker.py:202-268) with everything but the final sums on-device."""
+        ks = tuple(ks)
+        acc: Dict[str, np.ndarray] = {}
+        count = 0.0
+        for batch in batches:
+            sums = self._compiled_eval(self.params, batch.features, batch.labels, batch.mask, ks)
+            count += float(sums["count"])
+            for m in ("nDCG", "nERR", "AP", "P"):
+                v = np.asarray(sums[m])
+                acc[m] = acc.get(m, 0.0) + v
+        if count == 0:
+            return {m: np.zeros(len(ks)) for m in ("nDCG", "nERR", "AP", "P")}
+        return {m: acc[m] / count for m in acc}
+
+    def validation(self, batches: Iterable[RankingBatch], k: int = 5, metric: str = "nDCG") -> float:
+        """Validation scalar (reference validation, base/ranker.py:189-200)."""
+        return float(self.evaluate(batches, ks=(k,))[metric][0])
+
+    # ----------------------------------------------------------------- io
+
+    def checkpoint(self) -> Dict[str, Any]:
+        to_np = lambda t: jax.tree_util.tree_map(np.asarray, t)
+        return {
+            "model_id": self.model_id,
+            "params": to_np(self.params),
+            "opt_state": to_np(self.opt_state),
+            "key": np.asarray(self._key),
+        }
+
+    def save(self, path: str):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump(self.checkpoint(), f, protocol=pickle.HIGHEST_PROTOCOL)
+
+    def load(self, path: str):
+        with open(path, "rb") as f:
+            ckpt = pickle.load(f)
+        assert ckpt["model_id"] == self.model_id, (ckpt["model_id"], self.model_id)
+        to_dev = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+        self.params = to_dev(ckpt["params"])
+        self.opt_state = jax.tree_util.tree_map(jnp.asarray, ckpt["opt_state"])
+        self._key = jnp.asarray(ckpt["key"])
+        return self
+
+    def load_params_only(self, path: str):
+        """Reference-style load: scorer weights only (point_ranker.py:69-71)."""
+        with open(path, "rb") as f:
+            ckpt = pickle.load(f)
+        self.params = jax.tree_util.tree_map(jnp.asarray, ckpt["params"])
+        return self

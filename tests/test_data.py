@@ -1,0 +1,137 @@
+"""Data layer tests: parser semantics, grouping/clipping, scalers, bucketing."""
+
+import numpy as np
+import pytest
+
+from ptranking_tpu.data import (
+    BucketedDataset,
+    group_and_clip,
+    load_letor_file,
+    make_synthetic_queries,
+    parse_letor_lines,
+    random_mask_all_labels,
+    scale_features,
+)
+
+LETOR_SAMPLE = """\
+2 qid:10 1:0.5 2:0.3 3:0.0 #docA extra
+0 qid:10 1:0.1 2:0.0 3:0.9 #docB
+1 qid:10 1:0.4 2:0.4 3:0.4 #docC
+0 qid:20 1:0.0 2:0.0 3:0.0 #docD
+0 qid:20 1:0.2 2:0.1 3:0.3 #docE
+1 qid:30 1:0.9 2:0.9 3:0.9 #docF
+"""
+
+
+def test_parse_letor_with_comments():
+    mat, labels, qids, docids = parse_letor_lines(
+        LETOR_SAMPLE.splitlines(), has_comment=True
+    )
+    assert mat.shape == (6, 3)
+    assert labels.tolist() == [2.0, 0.0, 1.0, 0.0, 0.0, 1.0]
+    assert qids == ["10", "10", "10", "20", "20", "30"]
+    assert docids == ["docA", "docB", "docC", "docD", "docE", "docF"]
+    np.testing.assert_allclose(mat[0], [0.5, 0.3, 0.0])
+
+
+def test_parse_letor_sparse_auto_grow():
+    # LibSVM style: zero features omitted, width grows to max feature id
+    lines = ["1 qid:1 2:0.4 8:0.7", "0 qid:1 5:0.5"]
+    mat, labels, qids = parse_letor_lines(lines, has_comment=False)
+    assert mat.shape == (2, 8)
+    assert mat[0, 1] == pytest.approx(0.4)
+    assert mat[0, 7] == pytest.approx(0.7)
+    assert mat[1, 4] == pytest.approx(0.5)
+    assert mat[1, 7] == 0.0
+
+
+def test_group_and_clip_drops_irrelevant_queries():
+    mat, labels, qids, _ = parse_letor_lines(LETOR_SAMPLE.splitlines(), has_comment=True)
+    qs = group_and_clip(mat, labels, qids, min_rele=1, presort=True, scale_data=False)
+    # qid 20 has no relevant docs -> dropped (reference clip_query_data)
+    assert [q[0] for q in qs] == ["10", "30"]
+    # presort: labels descending
+    assert qs[0][2].tolist() == [2.0, 1.0, 0.0]
+
+
+def test_group_and_clip_min_docs():
+    mat, labels, qids, _ = parse_letor_lines(LETOR_SAMPLE.splitlines(), has_comment=True)
+    qs = group_and_clip(mat, labels, qids, min_docs=2, min_rele=1, presort=True, scale_data=False)
+    assert [q[0] for q in qs] == ["10"]  # qid 30 has 1 doc
+
+
+def test_binary_rele():
+    mat, labels, qids, _ = parse_letor_lines(LETOR_SAMPLE.splitlines(), has_comment=True)
+    qs = group_and_clip(mat, labels, qids, binary_rele=True, presort=True, scale_data=False)
+    assert qs[0][2].max() == 1.0
+
+
+@pytest.mark.parametrize("scaler", ["MinMaxScaler", "RobustScaler", "StandardScaler", "SLog1P"])
+def test_scalers_match_sklearn(scaler):
+    x = np.random.RandomState(0).randn(20, 5).astype(np.float64) * 3 + 1
+    x[:, 2] = 7.0  # constant column exercises zero-scale handling
+    ours = scale_features(x, scaler)
+    try:
+        from sklearn.preprocessing import MinMaxScaler, RobustScaler, StandardScaler
+    except ImportError:
+        pytest.skip("sklearn unavailable")
+    if scaler == "SLog1P":
+        ref = np.sign(x) * np.log1p(np.abs(x))
+    else:
+        sk = {"MinMaxScaler": MinMaxScaler, "RobustScaler": RobustScaler,
+              "StandardScaler": StandardScaler}[scaler]()
+        ref = sk.fit_transform(x)
+    np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-9)
+
+
+def test_letor_file_cache_roundtrip(tmp_path):
+    p = tmp_path / "train.txt"
+    p.write_text(LETOR_SAMPLE)
+    qs1 = load_letor_file(str(p), data_id="LETOR", has_comment=True, scale_data=False)
+    qs2 = load_letor_file(str(p), data_id="LETOR", has_comment=True, scale_data=False)  # from cache
+    assert len(qs1) == len(qs2)
+    for a, b in zip(qs1, qs2):
+        assert a[0] == b[0]
+        np.testing.assert_array_equal(a[1], b[1])
+        np.testing.assert_array_equal(a[2], b[2])
+
+
+def test_bucketed_dataset_shapes_and_coverage():
+    qs = make_synthetic_queries(num_queries=50, min_docs=3, max_docs=100, seed=1)
+    ds = BucketedDataset(qs, batch_docs=256, buckets=(16, 64, 128))
+    seen = 0
+    shapes = set()
+    for batch in ds.batches():
+        B, N, F = batch.features.shape
+        assert batch.labels.shape == (B, N)
+        assert batch.mask.shape == (B, N)
+        shapes.add((B, N))
+        seen += int(batch.mask.any(axis=1).sum())
+        # pads must be zeroed
+        assert np.all(batch.features[~batch.mask] == 0.0)
+        assert np.all(batch.labels[~batch.mask] == 0.0)
+    assert seen == ds.num_queries == 50
+    assert len(shapes) <= 3  # few compiled shapes
+
+
+def test_bucketed_dataset_shuffle_changes_order_not_content():
+    qs = make_synthetic_queries(num_queries=30, seed=2)
+    ds = BucketedDataset(qs, batch_docs=128)
+    a = [b.qids.tolist() for b in ds.batches(shuffle=True, epoch=0)]
+    b = [b.qids.tolist() for b in ds.batches(shuffle=True, epoch=1)]
+    assert a != b
+    flat = lambda xs: sorted(q for batch in xs for q in batch if q >= 0)
+    assert flat(a) == flat(b)
+
+
+def test_masking_keeps_presort():
+    qs = make_synthetic_queries(num_queries=10, seed=3)
+    masked = random_mask_all_labels(qs, mask_ratio=0.5, seed=4)
+    for _, _, l in masked:
+        assert np.all(np.diff(l) <= 0)  # still descending
+
+
+def test_synthetic_is_learnable():
+    qs = make_synthetic_queries(num_queries=20, seed=5)
+    # the teacher signal must be recoverable: top-labeled doc has high feature norm corr
+    assert all((l > 0).sum() >= 1 for _, _, l in qs)

@@ -1,0 +1,105 @@
+"""End-to-end evaluator tests on synthetic data (debug-scale)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ptranking_tpu.eval import LTREvaluator
+from ptranking_tpu.eval.settings import DataSetting, EvalSetting, ModelSetting, SFSetting
+
+
+def test_point_run_end_to_end(tmp_path):
+    ev = LTREvaluator()
+    perf = ev.point_run(
+        debug=True, model_id="RankMSE", sf_id="pointsf",
+        data_id="SyntheticMQ", dir_output=str(tmp_path),
+    )
+    assert perf["nDCG"].shape == (6,)  # cutoffs [1,3,5,10,20,50]
+    assert 0.0 < perf["nDCG"][2] <= 1.0
+    # run dir encodes the settings
+    runs = [r for r, d, f in os.walk(tmp_path) if "Fold-1" in d]
+    assert runs and "RankMSE_SF" in os.path.basename(runs[0])
+
+
+def test_reproduce_matches_original(tmp_path):
+    ev = LTREvaluator()
+    perf = ev.point_run(debug=True, model_id="RankNet", data_id="SyntheticMQ",
+                        dir_output=str(tmp_path))
+    perf2 = ev.point_run(debug=True, model_id="RankNet", data_id="SyntheticMQ",
+                         dir_output=str(tmp_path), reproduce=True)
+    np.testing.assert_allclose(perf["nDCG"], perf2["nDCG"], atol=1e-6)
+
+
+def test_json_config_run(tmp_path):
+    cfg = {
+        "DataSetting": {
+            "data_id": "SyntheticMQ", "dir_data": "/nonexistent",
+            "min_docs": [5], "min_rele": [1], "binary_rele": [False],
+            "unknown_as_zero": [False], "tr_batch_size": [256],
+        },
+        "EvalSetting": {
+            "dir_output": str(tmp_path / "out"), "epochs": 2,
+            "do_validation": True, "vali_k": 5, "vali_metric": "nDCG",
+            "cutoffs": [1, 3, 5, 10], "loss_guided": False,
+            "do_log": False, "log_step": 1, "do_summary": False,
+            "mask": {"mask_label": False, "mask_type": ["rand_mask_all"], "mask_ratio": [0.2]},
+        },
+        "SFParameter": {
+            "sf_id": "pointsf", "opt": ["Adam"], "lr": [0.001],
+            "pointsf": {"BN": [True], "bn_type": ["BN"], "bn_affine": [True],
+                        "layers": [2], "AF": ["R"], "TL_AF": ["S"], "apply_tl_af": [False]},
+        },
+    }
+    dir_json = tmp_path / "json"
+    dir_json.mkdir()
+    (dir_json / "Data_Eval_ScoringFunction.json").write_text(json.dumps(cfg))
+    (dir_json / "RankNetParameter.json").write_text(json.dumps({"RankNet": {"sigma": [1.0]}}))
+
+    ev = LTREvaluator()
+    perf = ev.run(debug=True, model_id="RankNet", sf_id="pointsf",
+                  config_with_json=True, dir_json=str(dir_json))
+    assert perf is not None and perf["nDCG"].shape == (4,)
+    # grid best-setting record written
+    assert any("max.txt" in f for _, _, fs in os.walk(tmp_path / "out") for f in fs)
+
+
+def test_settings_strings():
+    ds = DataSetting(debug=True, data_id="SyntheticMQ", dir_data=None)
+    ds.default_setting()
+    s = ds.to_data_setting_string()
+    assert "SyntheticMQ" in s and "MiD" in s
+
+    es = EvalSetting(debug=True, dir_output="/tmp")
+    es.default_setting()
+    assert "EP_5" in es.to_eval_setting_string()
+
+    sf = SFSetting(debug=True, sf_id="pointsf")
+    sf.default_setting(num_features=46)
+    assert "GE5S" in sf.to_para_string()
+
+    ms = ModelSetting("LambdaRank", debug=True)
+    ms.default_para_dict()
+    assert "sigma" in ms.to_para_string()
+
+
+def test_model_grid_iterates():
+    ms = ModelSetting("LambdaLoss", debug=True)
+    grids = list(ms.grid_search())
+    assert len(grids) >= 1
+    assert all("loss_type" in g for g in grids)
+
+
+def test_unknown_model_rejected():
+    ev = LTREvaluator()
+    with pytest.raises(AssertionError):
+        ev.run(model_id="TwinRank", data_id="SyntheticMQ")
+
+
+def test_cli_main(tmp_path):
+    from ptranking_tpu.ltr import main
+
+    perf = main(["-model", "RankMSE", "-debug", "-data", "SyntheticMQ",
+                 "-dir_output", str(tmp_path)])
+    assert perf["nDCG"].shape == (6,)

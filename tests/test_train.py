@@ -1,0 +1,110 @@
+"""Training-layer tests: optimizer parity with torch, ranker end-to-end."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ptranking_tpu.data import BucketedDataset, make_synthetic_queries
+from ptranking_tpu.models import ScorerConfig
+from ptranking_tpu.train import AdhocRanker, OptimizerConfig, epoch_lr
+
+
+def test_epoch_lr_steplr():
+    cfg = OptimizerConfig(lr=1e-2, lr_step_size=20, lr_gamma=0.5)
+    assert epoch_lr(cfg, 1) == 1e-2
+    assert epoch_lr(cfg, 20) == 1e-2
+    assert epoch_lr(cfg, 21) == 5e-3
+    assert epoch_lr(cfg, 41) == 2.5e-3
+
+
+@pytest.mark.parametrize("opt", ["Adam", "RMS", "Adagrad"])
+def test_optimizer_matches_torch(opt):
+    """Our optax chain must track torch.optim exactly (incl. coupled L2)."""
+    torch = pytest.importorskip("torch")
+    from ptranking_tpu.train.optimizer import make_optimizer
+
+    rng = np.random.RandomState(0)
+    w0 = rng.randn(4, 3).astype(np.float32)
+    xs = [rng.randn(4, 3).astype(np.float32) for _ in range(5)]
+
+    # torch side
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    topt = {"Adam": torch.optim.Adam, "RMS": torch.optim.RMSprop,
+            "Adagrad": torch.optim.Adagrad}[opt]([tw], lr=1e-2, weight_decay=1e-3)
+    for x in xs:
+        topt.zero_grad()
+        loss = ((tw - torch.from_numpy(x)) ** 2).sum()
+        loss.backward()
+        topt.step()
+
+    # jax side
+    cfg = OptimizerConfig(opt=opt, lr=1e-2, weight_decay=1e-3)
+    optimizer = make_optimizer(cfg)
+    params = jnp.asarray(w0)
+    state = optimizer.init(params)
+    for x in xs:
+        grads = jax.grad(lambda p: jnp.sum((p - jnp.asarray(x)) ** 2))(params)
+        updates, state = optimizer.update(grads, state, params)
+        params = params + updates
+
+    np.testing.assert_allclose(np.asarray(params), tw.detach().numpy(), rtol=2e-4, atol=2e-6)
+
+
+def make_ranker(model_id="RankMSE", **kw):
+    cfg = ScorerConfig(sf_id="pointsf", num_features=46, num_layers=2, h_dim=32,
+                       dropout=0.0, apply_tl_af=False)
+    return AdhocRanker(model_id, cfg, **kw).init()
+
+
+def test_ranker_trains_and_improves():
+    qs = make_synthetic_queries(num_queries=60, seed=7)
+    ds = BucketedDataset(qs, batch_docs=512)
+    ranker = make_ranker("LambdaRank", opt_cfg=OptimizerConfig(opt="Adam", lr=1e-3))
+    before = ranker.validation(ds.batches(), k=5)
+    for epoch in range(1, 11):
+        loss, stop = ranker.train_epoch(ds.batches(shuffle=True, epoch=epoch), epoch_k=epoch)
+        assert not stop
+    after = ranker.validation(ds.batches(), k=5)
+    assert after > before + 0.02, (before, after)
+
+
+def test_ranker_checkpoint_roundtrip(tmp_path):
+    qs = make_synthetic_queries(num_queries=20, seed=8)
+    ds = BucketedDataset(qs, batch_docs=256)
+    ranker = make_ranker("RankNet")
+    ranker.train_epoch(ds.batches(), epoch_k=1)
+    path = str(tmp_path / "ckpt.pkl")
+    ranker.save(path)
+    v1 = ranker.validation(ds.batches())
+
+    ranker2 = make_ranker("RankNet")
+    ranker2.load(path)
+    v2 = ranker2.validation(ds.batches())
+    assert v1 == pytest.approx(v2, abs=1e-6)
+    # resumed training must continue from identical optimizer state
+    b1 = next(iter(ds.batches()))
+    ranker.train_epoch([b1], epoch_k=2)
+    ranker2.train_epoch([b1], epoch_k=2)
+    leaves1 = jax.tree_util.tree_leaves(ranker.params)
+    leaves2 = jax.tree_util.tree_leaves(ranker2.params)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_evaluate_matches_per_query_mean():
+    qs = make_synthetic_queries(num_queries=17, seed=9)
+    ds = BucketedDataset(qs, batch_docs=128)
+    ranker = make_ranker("RankMSE")
+    out = ranker.evaluate(ds.batches(), ks=(1, 5))
+    assert out["nDCG"].shape == (2,)
+    assert 0.0 <= out["nDCG"][0] <= 1.0
+
+
+def test_stop_guard_triggers_on_nan():
+    ranker = make_ranker("RankMSE")
+    ranker.params = jax.tree_util.tree_map(lambda p: p * jnp.nan, ranker.params)
+    qs = make_synthetic_queries(num_queries=4, seed=10)
+    ds = BucketedDataset(qs, batch_docs=128)
+    loss, stop = ranker.train_epoch(ds.batches(), epoch_k=10)  # checks at k%10==0
+    assert stop
