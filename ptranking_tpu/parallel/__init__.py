@@ -1,0 +1,26 @@
+"""Distributed runtime: device mesh, sharding rules, parallel train step.
+
+The reference is strictly single-process, single-device (SURVEY.md §2.10: no
+torch.distributed anywhere; explicit .to(device)/.cpu() per batch). This
+package is therefore designed from scratch for the TPU execution model:
+jax.sharding.Mesh + NamedSharding + jit auto-partitioning; gradient reduction,
+TP collectives and doc-axis gathers are inserted by XLA and ride ICI.
+"""
+
+from ptranking_tpu.parallel.mesh import (
+    MeshConfig,
+    make_mesh,
+    batch_sharding,
+    replicated,
+    scorer_param_sharding,
+)
+from ptranking_tpu.parallel.train import DistributedTrainer
+
+__all__ = [
+    "MeshConfig",
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "scorer_param_sharding",
+    "DistributedTrainer",
+]

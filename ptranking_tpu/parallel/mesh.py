@@ -1,0 +1,134 @@
+"""Device mesh construction and sharding rules.
+
+Axes:
+  data  — data parallel over query groups (batch dim of every array)
+  model — tensor parallel over scorer weight matrices (hidden dims)
+  seq   — context parallel over the document axis for ultra-long lists
+
+DP gradient psum, TP all-reduces and seq-axis gathers are all inserted by XLA
+from these shardings (jit auto-partitioning) — there is no hand-written
+collective in the training path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    data: int = 1
+    model: int = 1
+    seq: int = 1
+
+    @property
+    def num_devices(self) -> int:
+        return self.data * self.model * self.seq
+
+
+def make_mesh(cfg: Optional[MeshConfig] = None, devices: Optional[Sequence] = None) -> Mesh:
+    """Build a (data, model, seq) mesh. With no config, all devices go to the
+    data axis (pure DP — the right default for LTR's small dense towers)."""
+    devices = list(devices if devices is not None else jax.devices())
+    if cfg is None:
+        cfg = MeshConfig(data=len(devices))
+    assert cfg.num_devices <= len(devices), (cfg, len(devices))
+    arr = np.asarray(devices[: cfg.num_devices]).reshape(cfg.data, cfg.model, cfg.seq)
+    return Mesh(arr, ("data", "model", "seq"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, shard_docs: bool = False) -> NamedSharding:
+    """Batch arrays: queries over `data`, optionally docs over `seq` (CP)."""
+    if shard_docs:
+        return NamedSharding(mesh, P("data", "seq"))
+    return NamedSharding(mesh, P("data"))
+
+
+# --------------------------------------------------------------------- TP
+
+
+def _ffn_layer_spec(i: int, n_layers: int) -> P:
+    """Alternate hidden-dim sharding across stacked FFN layers: even layers
+    split the output features, odd layers split the input features, so
+    consecutive matmuls form the canonical column-then-row parallel pair and
+    XLA only all-reduces once per pair."""
+    if i % 2 == 0:
+        return P(None, "model")  # column parallel: [d_in, d_out/model]
+    return P("model", None)  # row parallel: [d_in/model, d_out]
+
+
+def scorer_param_sharding(mesh: Mesh, params) -> object:
+    """PartitionSpec pytree for scorer params (TP over the `model` axis).
+
+    Rules:
+      * ffn stacks ({'layers': [{'linear': {'w','b'}, 'bn': ...}, ...]}):
+        alternating column/row parallel; biases follow the output sharding;
+        the LAST layer (out_dim 1) is replicated — a [*, 1] output can't tile.
+      * MHSA: fused qkv [F, 3F] is column parallel (heads split across model),
+        out-proj fc [F, F] is row parallel; layer norms replicated.
+      * anything 0/1-dim or unrecognized: replicated.
+    """
+
+    def spec_ffn(ffn) -> object:
+        layers = ffn["layers"]
+        n = len(layers)
+        out = []
+        for i, layer in enumerate(layers):
+            w = layer["linear"]["w"]
+            is_last = i == n - 1
+            if is_last or min(w.shape) < mesh.shape["model"] or w.shape[1] == 1:
+                spec_w, spec_b = P(), P()
+            else:
+                spec_w = _ffn_layer_spec(i, n)
+                spec_b = P("model") if spec_w == P(None, "model") else P()
+            layer_spec = {"linear": {"w": spec_w, "b": spec_b}}
+            if "bn" in layer:
+                layer_spec["bn"] = jax.tree_util.tree_map(lambda _: P(), layer["bn"])
+            out.append(layer_spec)
+        return {"layers": out}
+
+    def spec_encoder(enc) -> object:
+        out_layers = []
+        for layer in enc["layers"]:
+            spec = {
+                "mhsa": {
+                    "qkv": {"w": P(None, "model"), "b": P("model")},
+                    "fc": {"w": P("model", None), "b": P()},
+                }
+            }
+            for k in ("ln", "ln1", "ln2"):
+                if k in layer:
+                    spec[k] = jax.tree_util.tree_map(lambda _: P(), layer[k])
+            if "fc" in layer:  # AllRank positionwise FFN
+                spec["fc"] = {
+                    "w1": {"w": P(None, "model"), "b": P("model")},
+                    "w2": {"w": P("model", None), "b": P()},
+                }
+            out_layers.append(spec)
+        enc_spec = {"layers": out_layers}
+        if "final_ln" in enc:
+            enc_spec["final_ln"] = jax.tree_util.tree_map(lambda _: P(), enc["final_ln"])
+        return enc_spec
+
+    spec = {}
+    for name, sub in params.items():
+        if name == "encoder":
+            spec[name] = spec_encoder(sub)
+        elif "layers" in sub:  # ffn stack (point_sf / head_ffnns / tail_ffnns)
+            spec[name] = spec_ffn(sub)
+        else:
+            spec[name] = jax.tree_util.tree_map(lambda _: P(), sub)
+    return jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s) if isinstance(s, P) else s,
+        spec,
+        is_leaf=lambda x: isinstance(x, P),
+    )

@@ -1,0 +1,167 @@
+"""DistributedTrainer: the multi-chip train/eval step.
+
+One jitted step covers DP (batch over `data`), TP (scorer weights over
+`model`) and doc-axis CP (docs over `seq`): the mesh + shardings tell XLA
+where every array lives, and it inserts the psum for gradient reduction, the
+TP all-reduces between column/row-parallel matmuls, and the gathers for the
+[B, N, N] pairwise blocks. Host code stays identical to single-chip.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ptranking_tpu.losses import DEFAULT_PARAS, STOCHASTIC, get_loss
+from ptranking_tpu.metrics.adhoc import evaluate_all_at_ks
+from ptranking_tpu.models import ScorerConfig, apply_scorer, init_scorer
+from ptranking_tpu.parallel.mesh import batch_sharding, replicated, scorer_param_sharding
+from ptranking_tpu.train.optimizer import OptimizerConfig, make_optimizer
+from ptranking_tpu.types import LabelType, RankingBatch
+
+
+class DistributedTrainer:
+    """Mesh-parallel counterpart of train.AdhocRanker.
+
+    tp=True shards the scorer weights over the `model` axis;
+    shard_docs=True additionally shards the document axis over `seq` (CP).
+    """
+
+    def __init__(
+        self,
+        model_id: str,
+        scorer_cfg: ScorerConfig,
+        mesh,
+        model_paras: Optional[Dict[str, Any]] = None,
+        opt_cfg: Optional[OptimizerConfig] = None,
+        label_type: LabelType = LabelType.MultiLabel,
+        tp: bool = False,
+        shard_docs: bool = False,
+        seed: int = 137,
+    ):
+        self.model_id = model_id
+        self.scorer_cfg = scorer_cfg
+        self.mesh = mesh
+        self.loss_fn = get_loss(model_id)
+        self.model_paras = {**DEFAULT_PARAS[model_id], **(model_paras or {})}
+        self.opt_cfg = opt_cfg or OptimizerConfig()
+        self.label_type = label_type
+        self.tp = tp
+        self.shard_docs = shard_docs
+        self.seed = seed
+        self.stochastic = model_id in STOCHASTIC
+
+    def init(self):
+        key = jax.random.PRNGKey(self.seed)
+        self._key, sub = jax.random.split(key)
+        params = init_scorer(sub, self.scorer_cfg)
+        self.param_shardings = (
+            scorer_param_sharding(self.mesh, params) if self.tp else
+            jax.tree_util.tree_map(lambda _: replicated(self.mesh), params)
+        )
+        self.params = jax.device_put(params, self.param_shardings)
+        self._optimizer = make_optimizer(self.opt_cfg)
+        # optimizer moments inherit each param's sharding; scalar counts replicate
+        self.opt_state = jax.jit(
+            self._optimizer.init,
+            out_shardings=self._opt_state_shardings(params),
+        )(self.params)
+        self._batch_sharding = batch_sharding(self.mesh, self.shard_docs)
+        self._compile()
+        return self
+
+    def _opt_state_shardings(self, params):
+        state_shape = jax.eval_shape(self._optimizer.init, params)
+
+        def pick(leaf):
+            for p, sh in zip(jax.tree_util.tree_leaves(params),
+                             jax.tree_util.tree_leaves(self.param_shardings)):
+                if leaf.shape == p.shape:
+                    return sh
+            return replicated(self.mesh)
+
+        return jax.tree_util.tree_map(pick, state_shape)
+
+    def _compile(self):
+        scorer_cfg, loss_fn, paras = self.scorer_cfg, self.loss_fn, self.model_paras
+        label_type, stochastic = self.label_type, self.stochastic
+        optimizer = self._optimizer
+        rep = replicated(self.mesh)
+        bsh = self._batch_sharding
+        mask_sh = jax.sharding.NamedSharding(self.mesh, bsh.spec)  # [B, N] same spec
+
+        def step(params, opt_state, key, features, labels, mask):
+            k_drop, k_loss = jax.random.split(key)
+
+            def loss_of(p):
+                scores = apply_scorer(p, scorer_cfg, features, mask, training=True, key=k_drop)
+                kw = {"key": k_loss} if stochastic else {}
+                return loss_fn(scores, labels, mask, label_type=label_type, **paras, **kw)
+
+            loss, grads = jax.value_and_grad(loss_of)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+            return params, opt_state, loss
+
+        self._step = jax.jit(
+            step,
+            in_shardings=(self.param_shardings, self._opt_shardings_cached(), rep,
+                          bsh, mask_sh, mask_sh),
+            out_shardings=(self.param_shardings, self._opt_shardings_cached(), rep),
+            donate_argnums=(0, 1),
+        )
+
+        def eval_batch(params, features, labels, mask, ks):
+            scores = apply_scorer(params, scorer_cfg, features, mask, training=False)
+            out = evaluate_all_at_ks(scores, labels, mask, ks, label_type)
+            sums = {m: jnp.sum(out[m], axis=0) for m in ("nDCG", "nERR", "AP", "P")}
+            sums["count"] = jnp.sum(jnp.any(mask, axis=-1).astype(jnp.float32))
+            return sums
+
+        self._eval = jax.jit(eval_batch, static_argnums=(4,),
+                             in_shardings=(self.param_shardings, bsh, mask_sh, mask_sh))
+
+    def _opt_shardings_cached(self):
+        if not hasattr(self, "_opt_sh"):
+            self._opt_sh = jax.tree_util.tree_map(lambda x: x.sharding, self.opt_state)
+        return self._opt_sh
+
+    # ------------------------------------------------------------------ api
+
+    def _put(self, batch: RankingBatch):
+        f = jax.device_put(np.asarray(batch.features), self._batch_sharding)
+        l = jax.device_put(np.asarray(batch.labels),
+                           jax.sharding.NamedSharding(self.mesh, self._batch_sharding.spec))
+        m = jax.device_put(np.asarray(batch.mask),
+                           jax.sharding.NamedSharding(self.mesh, self._batch_sharding.spec))
+        return f, l, m
+
+    def train_step(self, batch: RankingBatch) -> float:
+        self._key, sub = jax.random.split(self._key)
+        f, l, m = self._put(batch)
+        self.params, self.opt_state, loss = self._step(self.params, self.opt_state, sub, f, l, m)
+        return float(loss)
+
+    def train_epoch(self, batches, epoch_k: int = 1):
+        from ptranking_tpu.train.optimizer import epoch_lr, set_lr
+
+        self.opt_state = set_lr(self.opt_state, epoch_lr(self.opt_cfg, epoch_k))
+        total, n = 0.0, 0
+        for batch in batches:
+            total += self.train_step(batch)
+            n += 1
+        return total / max(n, 1), False
+
+    def evaluate(self, batches, ks=(1, 3, 5, 10)):
+        ks = tuple(ks)
+        acc, count = {}, 0.0
+        for batch in batches:
+            f, l, m = self._put(batch)
+            sums = self._eval(self.params, f, l, m, ks)
+            count += float(sums["count"])
+            for k in ("nDCG", "nERR", "AP", "P"):
+                acc[k] = acc.get(k, 0.0) + np.asarray(sums[k])
+        return {k: v / max(count, 1.0) for k, v in acc.items()}
