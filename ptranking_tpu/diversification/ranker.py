@@ -1,0 +1,163 @@
+"""DivRanker: training/eval lifecycle for diversified ranking models.
+
+Counterpart of reference DiversityNeuralRanker + DivMDNRanker train/validate
+(base/ranker.py:636-695 div_* contract, div_mdn_ranker.py). One jitted step
+per (bucket shape); batched queries (the reference trains one query at a time,
+ltr_diversification.py:400-404).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import pickle
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ptranking_tpu import PAD_SCORE
+from ptranking_tpu.diversification.data import DivBatch
+from ptranking_tpu.diversification.losses import DIV_LOSSES, daletor_loss
+from ptranking_tpu.diversification.scorers import (
+    DivScorerConfig,
+    div_forward,
+    div_predict,
+    init_div_scorer,
+)
+from ptranking_tpu.metrics.srd import alpha_ndcg_at_ks, err_ia_at_ks, nerr_ia_at_ks
+from ptranking_tpu.train.optimizer import OptimizerConfig, epoch_lr, make_optimizer, set_lr
+
+DIV_MODELS = ["DALETOR", "DivProbRanker"]
+
+
+class DivRanker:
+    def __init__(self, model_id: str, scorer_cfg: DivScorerConfig,
+                 model_paras: Optional[Dict[str, Any]] = None,
+                 opt_cfg: Optional[OptimizerConfig] = None, seed: int = 137):
+        assert model_id in DIV_MODELS, model_id
+        self.model_id = model_id
+        self.scorer_cfg = scorer_cfg
+        self.model_paras = dict(model_paras or {})
+        self.opt_cfg = opt_cfg or OptimizerConfig(opt="Adam", lr=1e-3)
+        self.seed = seed
+        if model_id == "DALETOR":
+            self._loss_key = "DALETOR"
+        else:
+            opt_id = self.model_paras.get("opt_id", "SuperSoft")
+            if opt_id == "SuperSoft":
+                metric = self.model_paras.get("metric", "aNDCG")
+                self._loss_key = f"SuperSoft-{metric}"
+            else:
+                self._loss_key = opt_id
+
+    def init(self):
+        self._key = jax.random.PRNGKey(self.seed)
+        self._key, sub = jax.random.split(self._key)
+        self.params = init_div_scorer(sub, self.scorer_cfg)
+        self._optimizer = make_optimizer(self.opt_cfg)
+        self.opt_state = self._optimizer.init(self.params)
+        self._build()
+        return self
+
+    def _build(self):
+        cfg, model_id = self.scorer_cfg, self.model_id
+        loss_fn = DIV_LOSSES[self._loss_key]
+        paras = {k: v for k, v in self.model_paras.items()
+                 if k not in ("opt_id", "metric", "K", "cluster", "sort_id", "limit_delta")}
+        if self._loss_key in ("PairCLS", "LambdaPairCLS"):
+            paras["opt_id"] = self._loss_key
+        optimizer = self._optimizer
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(params, opt_state, key, q_repr, doc_reprs, rele_mat, dmask):
+            def loss_of(p):
+                if model_id == "DALETOR":
+                    scores = _scores(p, key)
+                    return loss_fn(scores, rele_mat, dmask, **paras)
+                mus, vars_, cocos = div_forward(p, cfg, q_repr, doc_reprs, dmask,
+                                                training=True, key=key)
+                return loss_fn(mus, vars_, rele_mat, dmask, cocos=cocos, **paras)
+
+            def _scores(p, k):
+                mus, _, _ = div_forward(p, cfg, q_repr, doc_reprs, dmask, training=True, key=k)
+                return mus
+
+            loss, grads = jax.value_and_grad(loss_of)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(lambda a, u: a + u, params, updates)
+            return params, opt_state, loss
+
+        self._step = step
+
+        @jax.jit
+        def predict(params, q_repr, doc_reprs, dmask):
+            return div_predict(params, cfg, q_repr, doc_reprs, dmask)
+
+        self._predict = predict
+
+        @functools.partial(jax.jit, static_argnums=(5,))
+        def eval_batch(params, q_repr, doc_reprs, rele_mat, dmask, ks, smask):
+            scores = div_predict(params, cfg, q_repr, doc_reprs, dmask)
+            order = jnp.argsort(-jnp.where(dmask, scores, PAD_SCORE), axis=-1, stable=True)
+            S = rele_mat.shape[1]
+            sys_rele = jnp.take_along_axis(rele_mat, order[:, None, :].repeat(S, 1), -1)
+            sys_mask = jnp.take_along_axis(dmask, order, -1)
+            # rele_mat arrives in ideal (presorted) order
+            andcg = alpha_ndcg_at_ks(sys_rele, rele_mat, sys_mask, ks)
+            err_ia = err_ia_at_ks(sys_rele, sys_mask, 1.0, ks, subtopic_mask=smask)
+            nerr_ia = nerr_ia_at_ks(sys_rele, rele_mat, sys_mask, 1.0, ks, subtopic_mask=smask)
+            count = jnp.sum(jnp.any(dmask, -1).astype(jnp.float32))
+            return {"aNDCG": jnp.sum(andcg, 0), "ERR-IA": jnp.sum(err_ia, 0),
+                    "nERR-IA": jnp.sum(nerr_ia, 0), "count": count}
+
+        self._eval = eval_batch
+
+    # ------------------------------------------------------------------ api
+
+    def train_epoch(self, batches: Iterable[DivBatch], epoch_k: int = 1):
+        self.opt_state = set_lr(self.opt_state, epoch_lr(self.opt_cfg, epoch_k))
+        total, n = 0.0, 0
+        for b in batches:
+            self._key, sub = jax.random.split(self._key)
+            self.params, self.opt_state, loss = self._step(
+                self.params, self.opt_state, sub,
+                jnp.asarray(b.q_repr), jnp.asarray(b.doc_reprs),
+                jnp.asarray(b.rele_mat), jnp.asarray(b.doc_mask))
+            total += float(loss)
+            n += int(b.doc_mask.any(axis=-1).sum())
+        return total / max(n, 1), False
+
+    def predict(self, batch: DivBatch):
+        return self._predict(self.params, jnp.asarray(batch.q_repr),
+                             jnp.asarray(batch.doc_reprs), jnp.asarray(batch.doc_mask))
+
+    def evaluate(self, batches: Iterable[DivBatch], ks=(1, 3, 5, 10, 20)):
+        ks = tuple(ks)
+        acc, count = {}, 0.0
+        for b in batches:
+            out = self._eval(self.params, jnp.asarray(b.q_repr), jnp.asarray(b.doc_reprs),
+                             jnp.asarray(b.rele_mat), jnp.asarray(b.doc_mask), ks,
+                             jnp.asarray(b.subtopic_mask))
+            count += float(out["count"])
+            for m in ("aNDCG", "ERR-IA", "nERR-IA"):
+                acc[m] = acc.get(m, 0.0) + np.asarray(out[m])
+        return {m: v / max(count, 1.0) for m, v in acc.items()}
+
+    def validation(self, batches, k: int = 5, metric: str = "aNDCG") -> float:
+        return float(self.evaluate(batches, ks=(k,))[metric][0])
+
+    def save(self, path: str):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump({"model_id": self.model_id,
+                         "params": jax.tree_util.tree_map(np.asarray, self.params),
+                         "opt_state": jax.tree_util.tree_map(np.asarray, self.opt_state)}, f)
+
+    def load(self, path: str):
+        with open(path, "rb") as f:
+            ckpt = pickle.load(f)
+        self.params = jax.tree_util.tree_map(jnp.asarray, ckpt["params"])
+        self.opt_state = jax.tree_util.tree_map(jnp.asarray, ckpt["opt_state"])
+        return self

@@ -1,0 +1,150 @@
+"""Diversification branch tests: scorers, losses, end-to-end CV."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ptranking_tpu.diversification import (
+    DIV_LOSSES,
+    DivBucketedDataset,
+    DivLTREvaluator,
+    DivRanker,
+    DivScorerConfig,
+    div_forward,
+    div_predict,
+    init_div_scorer,
+    make_synthetic_div_queries,
+)
+
+
+def small_batch():
+    qs = make_synthetic_div_queries(num_queries=6, num_features=16, min_docs=5,
+                                    max_docs=12, seed=3)
+    ds = DivBucketedDataset(qs, batch_queries=6)
+    return next(iter(ds.batches()))
+
+
+@pytest.mark.parametrize("sf_id", ["pointsf", "listsf", "listsf_co"])
+def test_div_forward_shapes(sf_id):
+    b = small_batch()
+    cfg = DivScorerConfig(sf_id=sf_id, num_features=16, h_dim=16, num_layers=2,
+                          ff_dims=(16, 8), encoder_layers=1, dropout=0.0)
+    params = init_div_scorer(jax.random.PRNGKey(0), cfg)
+    mus, vars_, cocos = div_forward(params, cfg, jnp.asarray(b.q_repr),
+                                    jnp.asarray(b.doc_reprs), jnp.asarray(b.doc_mask))
+    B, N = b.doc_mask.shape
+    assert mus.shape == (B, N) and vars_.shape == (B, N)
+    assert bool(jnp.all(vars_ > 0))
+    if sf_id.endswith("co"):
+        assert cocos.shape == (B, N, N)
+        assert bool(jnp.all(jnp.abs(cocos) <= 1.0 + 1e-5))
+
+
+@pytest.mark.parametrize("K,cluster", [(1, False), (3, False), (3, True)])
+def test_mdn_variants(K, cluster):
+    b = small_batch()
+    cfg = DivScorerConfig(sf_id="pointsf", num_features=16, h_dim=16, num_layers=2,
+                          K=K, cluster=cluster, dropout=0.0, limit_delta=2.0)
+    params = init_div_scorer(jax.random.PRNGKey(1), cfg)
+    mus, vars_, _ = div_forward(params, cfg, jnp.asarray(b.q_repr),
+                                jnp.asarray(b.doc_reprs), jnp.asarray(b.doc_mask))
+    assert bool(jnp.all(jnp.isfinite(mus)))
+    assert bool(jnp.all(vars_ <= 2.0 + 1e-5))  # limit_delta cap
+
+
+@pytest.mark.parametrize("sort_id", ["ExpRele", "RERAR", "RiskAware"])
+def test_div_predict_sort_modes(sort_id):
+    b = small_batch()
+    cfg = DivScorerConfig(sf_id="pointsf", num_features=16, h_dim=16, num_layers=2,
+                          sort_id=sort_id, dropout=0.0)
+    params = init_div_scorer(jax.random.PRNGKey(2), cfg)
+    s = div_predict(params, cfg, jnp.asarray(b.q_repr), jnp.asarray(b.doc_reprs),
+                    jnp.asarray(b.doc_mask))
+    assert bool(jnp.all(jnp.isfinite(jnp.where(jnp.asarray(b.doc_mask), s, 0.0))))
+
+
+@pytest.mark.parametrize("loss_key", sorted(DIV_LOSSES))
+def test_div_losses_finite_and_masked(loss_key):
+    b = small_batch()
+    rele = jnp.asarray(b.rele_mat)
+    dmask = jnp.asarray(b.doc_mask)
+    B, N = dmask.shape
+    key = jax.random.PRNGKey(3)
+    mus = jax.random.normal(key, (B, N))
+    vars_ = jnp.ones((B, N)) * 0.5
+
+    if loss_key == "DALETOR":
+        fn = lambda m: DIV_LOSSES[loss_key](m, rele, dmask)
+    elif loss_key == "LambdaPairCLS":
+        fn = lambda m: DIV_LOSSES[loss_key](m, vars_, rele, dmask, opt_id="LambdaPairCLS")
+    elif loss_key == "PairCLS":
+        fn = lambda m: DIV_LOSSES[loss_key](m, vars_, rele, dmask, opt_id="PairCLS")
+    else:
+        fn = lambda m: DIV_LOSSES[loss_key](m, vars_, rele, dmask)
+    v = fn(mus)
+    assert bool(jnp.isfinite(v)), loss_key
+    g = jax.grad(lambda m: fn(m))(mus)
+    assert bool(jnp.all(jnp.isfinite(g))), loss_key
+    assert bool(jnp.all(jnp.where(dmask, 0.0, g) == 0.0)), loss_key
+    # pad-content invariance
+    v2 = fn(jnp.where(dmask, mus, 99.0))
+    assert jnp.allclose(v, v2, atol=1e-4), loss_key
+
+
+def test_daletor_prefers_diverse_order():
+    b = small_batch()
+    rele = jnp.asarray(b.rele_mat)
+    dmask = jnp.asarray(b.doc_mask)
+    N = dmask.shape[1]
+    # scores matching ideal (presorted) order vs reversed
+    good = DIV_LOSSES["DALETOR"](jnp.arange(N, 0, -1, dtype=jnp.float32)[None].repeat(rele.shape[0], 0) * dmask, rele, dmask)
+    bad = DIV_LOSSES["DALETOR"](jnp.arange(N, dtype=jnp.float32)[None].repeat(rele.shape[0], 0) * dmask, rele, dmask)
+    assert good < bad
+
+
+@pytest.mark.parametrize("model_id,paras", [
+    ("DALETOR", {}),
+    ("DivProbRanker", {"opt_id": "SuperSoft", "metric": "aNDCG"}),
+    ("DivProbRanker", {"opt_id": "SuperSoft", "metric": "nERR-IA"}),
+    ("DivProbRanker", {"opt_id": "PairCLS"}),
+    ("DivProbRanker", {"opt_id": "LambdaPairCLS", "opt_ideal": True, "norm": True}),
+    ("DivProbRanker", {"opt_id": "Portfolio"}),
+])
+def test_div_ranker_trains(model_id, paras):
+    qs = make_synthetic_div_queries(num_queries=12, num_features=16, min_docs=6,
+                                    max_docs=12, seed=5)
+    ds = DivBucketedDataset(qs, batch_queries=6)
+    cfg = DivScorerConfig(sf_id="pointsf", num_features=16, h_dim=16, num_layers=2,
+                          dropout=0.0)
+    r = DivRanker(model_id, cfg, model_paras=paras).init()
+    l0, _ = r.train_epoch(ds.batches(), 1)
+    for e in range(2, 6):
+        l1, _ = r.train_epoch(ds.batches(), e)
+    assert np.isfinite(l0) and np.isfinite(l1)
+    m = r.evaluate(ds.batches(), ks=(1, 5))
+    assert 0.0 <= float(m["aNDCG"][1]) <= 1.0
+
+
+def test_div_cv_end_to_end(tmp_path):
+    ev = DivLTREvaluator()
+    cv = ev.div_cv_eval("DALETOR", data_id="SyntheticDiv", dir_output=str(tmp_path),
+                        debug=True, epochs=2, batch_queries=8,
+                        model_paras={"rt": 10.0, "top_k": 10})
+    assert cv["aNDCG"].shape == (5,)
+    assert 0.0 < cv["aNDCG"][2] <= 1.0
+
+
+def test_trec_artifact_writers(tmp_path):
+    from ptranking_tpu.diversification import write_div_qrels, write_trec_run
+
+    qs = make_synthetic_div_queries(num_queries=2, num_features=8, min_docs=4, max_docs=5, seed=6)
+    qrels = tmp_path / "qrels.txt"
+    write_div_qrels(str(qrels), qs)
+    lines = qrels.read_text().splitlines()
+    assert all(len(l.split()) == 4 for l in lines)
+
+    run = tmp_path / "run.txt"
+    write_trec_run(str(run), "q1", ["docA", "docB"], [0.9, 0.1])
+    rows = run.read_text().splitlines()
+    assert rows[0].split()[:4] == ["q1", "Q0", "docA", "1"]
