@@ -1,0 +1,120 @@
+"""Tree branch tests: objectives (incl. parity vs the reference's loop
+implementation), libsvm round-trip, gated LightGBM path."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from ptranking_tpu.data import make_synthetic_queries
+from ptranking_tpu.tree import (
+    HAS_LIGHTGBM,
+    cal_metric_at_ks,
+    custom_obj_lambdarank,
+    custom_obj_listnet,
+    custom_obj_ranknet,
+    load_libsvm,
+    queries_to_flat,
+    save_libsvm,
+)
+
+RNG = np.random.RandomState(137)
+REF_OK = os.path.isdir("/root/reference/ptranking")
+if REF_OK:
+    sys.path.insert(0, "/root/reference")
+
+
+def flat_data(n_q=4, docs=8):
+    labels = RNG.randint(0, 3, n_q * docs).astype(np.float64)
+    preds = RNG.randn(n_q * docs)
+    group = np.full(n_q, docs)
+    return labels, preds, group
+
+
+@pytest.mark.parametrize("obj", [custom_obj_ranknet, custom_obj_lambdarank, custom_obj_listnet])
+def test_objectives_shapes_and_finite(obj):
+    labels, preds, group = flat_data()
+    grad, hess = obj(labels, preds, group)
+    assert grad.shape == preds.shape and hess.shape == preds.shape
+    assert np.all(np.isfinite(grad)) and np.all(np.isfinite(hess))
+    # gradient must push higher-labeled docs up (negative grad = score increases)
+    best = np.argmax(labels[:8])
+    worst = np.argmin(labels[:8])
+    assert grad[best] <= grad[worst]
+
+
+@pytest.mark.skipif(not REF_OK, reason="reference not mounted")
+@pytest.mark.parametrize("pair_type", ["All", "NoTies", "No00"])
+def test_lambda_grad_parity_with_reference(pair_type):
+    """Unweighted parity only: the reference's weighting gate is
+    `if weighting and weighting in WEIGHTING_TYPE` where `weighting` is a
+    BOOL (lightgbm_util.py:145,160), so `True in ['DeltaNDCG',...]` is always
+    False and DeltaNDCG weighting is silently never applied — a reference bug
+    we fix (see test_lambda_weighting_actually_applies)."""
+    import importlib
+
+    ref_mod = importlib.import_module("ptranking.ltr_tree.util.lightgbm_util")
+    from ptranking_tpu.tree.objectives import per_query_grad_hess_lambda
+
+    preds = RNG.randn(10)
+    labels = RNG.randint(0, 3, 10).astype(np.float64)
+    ref_grad, ref_hess = ref_mod.per_query_gradient_hessian_lambda(
+        preds=preds, labels=labels, first_order=False, weighting=False,
+        pair_type=pair_type, epsilon=1.0)
+    our_grad, our_hess = per_query_grad_hess_lambda(
+        preds, labels, first_order=False, weighting=False,
+        pair_type=pair_type, epsilon=1.0)
+    np.testing.assert_allclose(our_grad, ref_grad, rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(our_hess, ref_hess, rtol=1e-6, atol=1e-10)
+
+
+def test_lambda_weighting_actually_applies():
+    from ptranking_tpu.tree.objectives import per_query_grad_hess_lambda
+
+    preds = RNG.randn(10)
+    labels = RNG.randint(0, 3, 10).astype(np.float64)
+    g0, _ = per_query_grad_hess_lambda(preds, labels, weighting=False, pair_type="NoTies")
+    g1, _ = per_query_grad_hess_lambda(preds, labels, weighting=True,
+                                       weighting_type="DeltaNDCG", pair_type="NoTies")
+    assert not np.allclose(g0, g1)
+
+
+def test_libsvm_roundtrip(tmp_path):
+    qs = make_synthetic_queries(num_queries=5, num_features=7, seed=1)
+    data, target, group = queries_to_flat(qs)
+    path = str(tmp_path / "data.libsvm")
+    save_libsvm(path, data, target, group)
+    data2, target2, group2 = load_libsvm(path)
+    np.testing.assert_array_equal(group, group2)
+    np.testing.assert_array_equal(target.astype(int), target2.astype(int))
+    # zero-valued features are omitted in libsvm; non-zeros must round-trip
+    nz = data != 0
+    np.testing.assert_allclose(data2[:, :data.shape[1]][nz], data[nz], rtol=1e-5)
+
+
+def test_cal_metric_at_ks_flat():
+    labels = np.array([2.0, 1.0, 0.0, 1.0, 0.0, 0.0])
+    preds = np.array([3.0, 2.0, 1.0, 0.1, 0.5, 0.3])
+    group = np.array([3, 3])
+    out = cal_metric_at_ks(preds, labels, group, ks=(1, 3))
+    assert out["nDCG"].shape == (2,)
+    np.testing.assert_allclose(out["nDCG"][0], 0.5, atol=1e-6)  # q1 perfect, q2 top1 wrong
+
+
+@pytest.mark.skipif(not HAS_LIGHTGBM, reason="lightgbm not installed")
+def test_lightgbm_end_to_end(tmp_path):
+    from ptranking_tpu.tree import TreeLTREvaluator
+
+    ev = TreeLTREvaluator()
+    cv = ev.kfold_cv_eval(data_id="SyntheticMQ", dir_output=str(tmp_path), debug=True)
+    assert cv["nDCG"].shape == (6,)
+
+
+def test_lightgbm_gated_error():
+    if HAS_LIGHTGBM:
+        pytest.skip("lightgbm installed")
+    from ptranking_tpu.tree import LightGBMLambdaMART
+
+    with pytest.raises(ImportError):
+        LightGBMLambdaMART().fit((np.zeros((2, 2)), np.zeros(2), np.array([2])))
