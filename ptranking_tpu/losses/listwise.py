@@ -51,9 +51,20 @@ def _full_dcg(labels, mask, label_type=LabelType.MultiLabel):
 
 
 def lambda_rank(scores, labels, mask, sigma: float = 1.0,
-                label_type: LabelType = LabelType.MultiLabel, **_):
+                label_type: LabelType = LabelType.MultiLabel,
+                use_pallas: bool = False, **_):
     """RankNet BCE weighted by |DeltaNDCG| of pairwise swaps on the predicted
-    order (reference LambdaRank.custom_loss_function, lambdarank.py:27-62)."""
+    order (reference LambdaRank.custom_loss_function, lambdarank.py:27-62).
+
+    use_pallas=True routes through the fused tiled kernel
+    (ops/pallas/pairwise.py): O(N) memory instead of materialising [B, N, N];
+    throughput parity with the XLA-fused lax path on current TPUs (benchmarked
+    in tests/test_pallas.py + bench notes), so lax stays the default.
+    """
+    if use_pallas:
+        from ptranking_tpu.ops.pallas import lambda_rank_pallas
+
+        return lambda_rank_pallas(scores, labels, mask, sigma=sigma, label_type=label_type)
     sorted_scores, pred_sorted_labels, sorted_mask = sort_labels_by_scores(scores, labels, mask)
     logits = sigma * pairwise_diffs(sorted_scores)
     targets = 0.5 * (1.0 + jnp.clip(pairwise_diffs(pred_sorted_labels), -1.0, 1.0))

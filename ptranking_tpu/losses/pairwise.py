@@ -16,13 +16,18 @@ def _pair_bce_from_logits(logits, targets):
     return jax.nn.softplus(logits) - targets * logits
 
 
-def ranknet(scores, labels, mask, sigma: float = 1.0, **_):
+def ranknet(scores, labels, mask, sigma: float = 1.0, use_pallas: bool = False, **_):
     """Pairwise logistic loss over valid i<j pairs, summed.
 
     Mirrors reference RankNet.custom_loss_function
     (ptranking/ltr_adhoc/pairwise/ranknet.py:25-50): p_ij = sigmoid(sigma*(s_i-s_j)),
     target (1 + clamp(l_i-l_j, -1, 1))/2, BCE on the strict upper triangle.
+    use_pallas routes through the fused tiled kernel (ops/pallas/pairwise.py).
     """
+    if use_pallas:
+        from ptranking_tpu.ops.pallas import ranknet_pallas
+
+        return ranknet_pallas(scores, labels, mask, sigma=sigma)
     logits = sigma * pairwise_diffs(scores)
     targets = 0.5 * (1.0 + jnp.clip(pairwise_diffs(labels), -1.0, 1.0))
     bce = _pair_bce_from_logits(logits, targets)
