@@ -38,13 +38,30 @@ DIV_DEFAULT_PARAS: Dict[str, dict] = {
 }
 
 
+def trec_topic_id(qid: str) -> str:
+    """TREC qrels topics must be natural numbers (ndeval's qrels parser);
+    run-file topics may carry a 'task-' prefix. Extract the trailing digits of
+    an arbitrary qid ('divq12' -> '12', 'wt09-3' -> '3'); non-numeric qids
+    fall back to a stable hash-derived number."""
+    digits = ""
+    for c in reversed(str(qid)):
+        if c.isdigit():
+            digits = c + digits
+        elif digits:
+            break
+    if digits:
+        return str(int(digits))
+    import zlib
+    return str(zlib.crc32(str(qid).encode()) % 100000)
+
+
 def write_trec_run(path: str, qid: str, docids: Sequence[str], scores: Sequence[float],
                    system: str = "ptranking_tpu"):
     """TREC run rows: qid Q0 docid rank score system (reference
     base/ranker.py:437-443)."""
     with open(path, "a") as f:
         for rank, (d, s) in enumerate(zip(docids, scores), start=1):
-            f.write(f"{qid} Q0 {d} {rank} {s:.6f} {system}\n")
+            f.write(f"{trec_topic_id(qid)} Q0 {d} {rank} {s:.6f} {system}\n")
 
 
 def write_div_qrels(path: str, queries: Sequence[DivQuery]):
@@ -56,7 +73,7 @@ def write_div_qrels(path: str, queries: Sequence[DivQuery]):
             S, N = q.rele_mat.shape
             for s in range(S):
                 for d in range(N):
-                    f.write(f"{q.qid} {s + 1} doc{d} {int(q.rele_mat[s, d])}\n")
+                    f.write(f"{trec_topic_id(q.qid)} {s + 1} doc{d} {int(q.rele_mat[s, d])}\n")
 
 
 class DivLTREvaluator:
@@ -143,7 +160,26 @@ class DivLTREvaluator:
             write_trec_run(run_path, q.qid, [f"doc{j}" for j in order],
                            scores[order].tolist())
             i += 1
-        write_div_qrels(os.path.join(dir_run, f"fold_{fold_k}_qrels.txt"), test_qs)
+        qrels_path = os.path.join(dir_run, f"fold_{fold_k}_qrels.txt")
+        write_div_qrels(qrels_path, test_qs)
+        self._ndeval_cross_check(qrels_path, run_path)
+
+    @staticmethod
+    def _ndeval_cross_check(qrels_path: str, run_path: str):
+        """Run the native ndeval oracle (native/ndeval.cpp) over the emitted
+        qrels + run, printing its amean row — the off-device cross-check for
+        the on-device JAX SRD metrics. No-op if no C++ toolchain exists."""
+        try:
+            from ptranking_tpu.metrics.ndeval import ndeval_binary, run_ndeval
+            if ndeval_binary() is None:
+                return
+            amean = run_ndeval(qrels_path, run_path)["amean"]
+        except Exception as exc:  # oracle is advisory; never fail the run
+            print(f" [ndeval oracle unavailable: {exc}]")
+            return
+        keys = ("alpha-nDCG@5", "alpha-nDCG@10", "ERR-IA@5", "ERR-IA@10",
+                "nERR-IA@5", "NRBP", "MAP-IA", "strec@10")
+        print(" [ndeval] " + ", ".join(f"{k}:{amean[k]:.4f}" for k in keys))
 
 
 def test_qs_by_bucket_order(ds: DivBucketedDataset) -> List[DivQuery]:

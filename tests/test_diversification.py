@@ -147,4 +147,5 @@ def test_trec_artifact_writers(tmp_path):
     run = tmp_path / "run.txt"
     write_trec_run(str(run), "q1", ["docA", "docB"], [0.9, 0.1])
     rows = run.read_text().splitlines()
-    assert rows[0].split()[:4] == ["q1", "Q0", "docA", "1"]
+    # qids are normalized to numeric TREC topics (ndeval contract)
+    assert rows[0].split()[:4] == ["1", "Q0", "docA", "1"]
