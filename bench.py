@@ -18,7 +18,9 @@ import time
 
 import numpy as np
 
-B, N, F = 32, 128, 136  # lists/batch, docs/list, features (WEB30K shape)
+N, F = 128, 136          # docs/list, features (WEB30K shape)
+B = 2048                  # TPU batch: the chip's best operating point
+B_TORCH = 32              # CPU torch batch: CPU is rate-saturated already
 STEPS = 30
 WARMUP = 5
 RECORDED_TORCH_CPU_LISTS_PER_S = None  # filled by --record-baseline; see below
@@ -35,11 +37,14 @@ def bench_jax() -> float:
     ranker = AdhocRanker(
         "LambdaRank", cfg, opt_cfg=OptimizerConfig(opt="Adagrad", lr=1e-3)
     ).init()
-    qs = make_synthetic_queries(num_queries=B, num_features=F, min_docs=N, max_docs=N, seed=1)
-    ds = BucketedDataset(qs, batch_docs=B * N, buckets=(N,))
+    nq = min(B, 256)  # tile a smaller synthetic pool up to the TPU batch
+    qs = make_synthetic_queries(num_queries=nq, num_features=F, min_docs=N, max_docs=N, seed=1)
+    ds = BucketedDataset(qs, batch_docs=nq * N, buckets=(N,))
     batch = next(iter(ds.batches()))
-    feats, labels, mask = (np.asarray(batch.features), np.asarray(batch.labels),
-                           np.asarray(batch.mask))
+    reps = B // nq
+    feats = np.tile(np.asarray(batch.features), (reps, 1, 1))
+    labels = np.tile(np.asarray(batch.labels), (reps, 1))
+    mask = np.tile(np.asarray(batch.mask), (reps, 1))
 
     import jax.numpy as jnp
 
@@ -109,8 +114,8 @@ def bench_torch_cpu() -> float:
 
     model = DASALC()
     opt = torch.optim.Adagrad(model.parameters(), lr=1e-3, weight_decay=1e-3)
-    x = torch.randn(B, N, F)
-    labels, _ = torch.sort(torch.randint(0, 5, (B, N)).float(), dim=1, descending=True)
+    x = torch.randn(B_TORCH, N, F)
+    labels, _ = torch.sort(torch.randint(0, 5, (B_TORCH, N)).float(), dim=1, descending=True)
 
     def step():
         preds = model(x)
@@ -139,7 +144,7 @@ def bench_torch_cpu() -> float:
     for _ in range(steps):
         step()
     dt = time.perf_counter() - t0
-    return B * steps / dt
+    return B_TORCH * steps / dt
 
 
 def main():
