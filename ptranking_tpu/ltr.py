@@ -1,6 +1,11 @@
 """CLI entry: python -m ptranking_tpu.ltr -model LambdaRank -data SyntheticMQ ...
 
-Mirrors reference pt_ranking.py:69-87 + ArgsUtil (utils/args/argsUtil.py:11-37).
+Mirrors reference pt_ranking.py:69-87 + ArgsUtil (utils/args/argsUtil.py:11-37):
+the model id selects the evaluator — adhoc (LTREvaluator), adversarial
+(AdLTREvaluator, pt_ranking.py:75-76), tree (TreeLTREvaluator, :78-79) — and we
+additionally wire the diversification evaluator, which the reference leaves
+un-dispatched (driven only from testing_ltr_diversification.py; SURVEY §2.3
+"phantom models" note).
 """
 
 from __future__ import annotations
@@ -9,12 +14,19 @@ import argparse
 
 from ptranking_tpu.eval import LTR_ADHOC_MODELS, LTREvaluator
 
+LTR_ADVERSARIAL_MODELS = ["IRGAN_Point", "IRGAN_Pair", "IRGAN_List",
+                          "IRFGAN_Point", "IRFGAN_Pair", "IRFGAN_List"]
+LTR_TREE_MODELS = ["LightGBMLambdaMART"]
+LTR_DIV_MODELS = ["DALETOR", "DivProbRanker"]
+ALL_MODELS = (list(LTR_ADHOC_MODELS) + LTR_ADVERSARIAL_MODELS
+              + LTR_TREE_MODELS + LTR_DIV_MODELS)
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("ptranking_tpu")
     # reference flags (argsUtil.py:19-29)
     p.add_argument("-cuda", type=int, default=None, help="device ordinal (jax-global; accepted for parity)")
-    p.add_argument("-model", type=str, required=True, choices=LTR_ADHOC_MODELS)
+    p.add_argument("-model", type=str, required=True, choices=ALL_MODELS)
     p.add_argument("-debug", action="store_true", help="shrink epochs/folds for a quick check")
     p.add_argument("-dir_json", type=str, default=None, help="dir with Data_Eval_ScoringFunction.json")
     # direct (non-json) configuration
@@ -24,11 +36,37 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-dir_output", type=str, default="./output")
     p.add_argument("-grid", action="store_true", help="grid search")
     p.add_argument("-reproduce", action="store_true", help="reload fold-optimal checkpoints and re-evaluate")
+    p.add_argument("-epochs", type=int, default=None, help="override epoch count (branch evaluators)")
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    if args.model in LTR_ADVERSARIAL_MODELS:
+        from ptranking_tpu.adversarial import AdLTREvaluator
+        evaluator = AdLTREvaluator()
+        return evaluator.ad_cv_eval(
+            model_id=args.model, data_id=args.data_id or "SyntheticMQ",
+            dir_data=args.dir_data, dir_output=args.dir_output,
+            debug=args.debug, epochs=args.epochs,
+        )
+    if args.model in LTR_TREE_MODELS:
+        from ptranking_tpu.tree import TreeLTREvaluator
+        evaluator = TreeLTREvaluator()
+        return evaluator.kfold_cv_eval(
+            model_id=args.model, data_id=args.data_id or "SyntheticMQ",
+            dir_data=args.dir_data, dir_output=args.dir_output, debug=args.debug,
+        )
+    if args.model in LTR_DIV_MODELS:
+        from ptranking_tpu.diversification import DivLTREvaluator
+        evaluator = DivLTREvaluator()
+        return evaluator.div_cv_eval(
+            model_id=args.model, data_id=args.data_id or "SyntheticDiv",
+            dir_data=args.dir_data, dir_output=args.dir_output,
+            debug=args.debug, epochs=args.epochs, write_run_files=True,
+        )
+
     evaluator = LTREvaluator(cuda=args.cuda)
     return evaluator.run(
         debug=args.debug, model_id=args.model, sf_id=args.sf_id,
