@@ -16,7 +16,7 @@ from ptranking_tpu.eval import LTR_ADHOC_MODELS, LTREvaluator
 
 LTR_ADVERSARIAL_MODELS = ["IRGAN_Point", "IRGAN_Pair", "IRGAN_List",
                           "IRFGAN_Point", "IRFGAN_Pair", "IRFGAN_List"]
-LTR_TREE_MODELS = ["LightGBMLambdaMART"]
+LTR_TREE_MODELS = ["LightGBMLambdaMART", "TPUGBDTLambdaMART"]
 LTR_DIV_MODELS = ["DALETOR", "DivProbRanker"]
 ALL_MODELS = (list(LTR_ADHOC_MODELS) + LTR_ADVERSARIAL_MODELS
               + LTR_TREE_MODELS + LTR_DIV_MODELS)

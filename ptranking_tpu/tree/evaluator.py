@@ -21,7 +21,7 @@ from ptranking_tpu.tree.lambdamart import (
     queries_to_flat,
 )
 
-LTR_TREE_MODELS = ["LightGBMLambdaMART"]
+LTR_TREE_MODELS = ["LightGBMLambdaMART", "TPUGBDTLambdaMART"]
 
 
 def cal_metric_at_ks(preds: np.ndarray, labels: np.ndarray, group: np.ndarray,
@@ -57,8 +57,10 @@ class TreeLTREvaluator:
                       cutoffs=(1, 3, 5, 10, 20, 50)) -> Dict[str, np.ndarray]:
         """(reference kfold_cv_eval, ltr_tree.py:223-313)."""
         assert model_id in LTR_TREE_MODELS
-        if not HAS_LIGHTGBM:
-            raise ImportError("lightgbm is required for the GBDT branch")
+        if model_id == "LightGBMLambdaMART" and not HAS_LIGHTGBM:
+            # fall back to the native TPU GBDT so the branch always runs
+            print(" [tree] lightgbm unavailable -> using the native TPUGBDTLambdaMART")
+            model_id = "TPUGBDTLambdaMART"
         meta = get_data_meta(data_id)
         fold_num = 2 if debug else meta.fold_num
         dir_run = os.path.join(dir_output, f"{model_id}_{data_id}")
@@ -74,10 +76,21 @@ class TreeLTREvaluator:
                 fold_dir = os.path.join(dir_data, f"Fold{fold_k}")
                 ld = lambda name: load_letor_file(os.path.join(fold_dir, name), data_id=data_id)
                 train_qs, vali_qs, test_qs = ld("train.txt"), ld("vali.txt"), ld("test.txt")
-            model = LightGBMLambdaMART(para_dict)
-            model.fit(queries_to_flat(train_qs), queries_to_flat(vali_qs),
-                      early_stopping_rounds=early_stop_rounds)
-            model.save_model(os.path.join(dir_run, f"fold_{fold_k}.model"))
+            if model_id == "TPUGBDTLambdaMART":
+                from ptranking_tpu.tree.jax_gbdt import GBDTConfig, TPUGBDTRanker
+
+                cfg = GBDTConfig(early_stopping_rounds=early_stop_rounds,
+                                 **(para_dict or {}))
+                if debug:
+                    cfg.num_trees = min(cfg.num_trees, 50)
+                model = TPUGBDTRanker(cfg)
+                model.fit(*queries_to_flat(train_qs), vali=queries_to_flat(vali_qs))
+                model.save(os.path.join(dir_run, f"fold_{fold_k}.model"))
+            else:
+                model = LightGBMLambdaMART(para_dict)
+                model.fit(queries_to_flat(train_qs), queries_to_flat(vali_qs),
+                          early_stopping_rounds=early_stop_rounds)
+                model.save_model(os.path.join(dir_run, f"fold_{fold_k}.model"))
             x_test, y_test, g_test = queries_to_flat(test_qs)
             y_pred = model.predict(x_test)
             m = cal_metric_at_ks(y_pred, y_test, g_test, ks=cutoffs)

@@ -73,6 +73,7 @@ def per_query_grad_hess_lambda(
     weighting_type: str = "DeltaNDCG",
     pair_type: str = "NoTies",
     epsilon: float = 1.0,
+    symmetric_hessian: bool = False,
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """Vectorised lambda gradients (reference
     per_query_gradient_hessian_lambda, lightgbm_util.py:120-177)."""
@@ -99,8 +100,13 @@ def per_query_grad_hess_lambda(
     if weighting:
         h = h * w
     h = np.where(sel, h, 0.0)
-    # reference adds +h to row doc and -h to col doc (lightgbm_util.py:168-172)
-    hess_sorted = h.sum(axis=1) - h.sum(axis=0)
+    if symmetric_hessian:
+        # proper Newton hessian: +h to BOTH docs of a pair (Burges' LambdaMART;
+        # what LightGBM's built-in lambdarank objective does)
+        hess_sorted = h.sum(axis=1) + h.sum(axis=0)
+    else:
+        # reference adds +h to row doc and -h to col doc (lightgbm_util.py:168-172)
+        hess_sorted = h.sum(axis=1) - h.sum(axis=0)
     hess = np.zeros_like(preds)
     hess[desc] = hess_sorted
     return grad, hess
@@ -162,8 +168,21 @@ custom_obj_ranknet_fobj = _fobj(custom_obj_ranknet)
 custom_obj_lambdarank_fobj = _fobj(custom_obj_lambdarank)
 custom_obj_listnet_fobj = _fobj(custom_obj_listnet)
 
+def custom_obj_lambdarank_newton(labels, preds, group):
+    """LambdaMART objective with the proper (all-positive) Newton hessian —
+    used by the native TPU GBDT (jax_gbdt.py), where leaves are Newton steps
+    -G/(H+l2) and the reference fobj's signed hessian would break them."""
+    return _over_groups(
+        lambda p, l: per_query_grad_hess_lambda(p, l, first_order=False,
+                                                pair_type="NoTies", weighting=True,
+                                                weighting_type="DeltaNDCG",
+                                                symmetric_hessian=True),
+        labels, preds, group)
+
+
 CUSTOM_OBJECTIVES = {
     "ranknet": (custom_obj_ranknet, custom_obj_ranknet_fobj),
     "lambdarank": (custom_obj_lambdarank, custom_obj_lambdarank_fobj),
+    "lambdarank_newton": (custom_obj_lambdarank_newton, _fobj(custom_obj_lambdarank_newton)),
     "listnet": (custom_obj_listnet, custom_obj_listnet_fobj),
 }

@@ -118,3 +118,107 @@ def test_lightgbm_gated_error():
 
     with pytest.raises(ImportError):
         LightGBMLambdaMART().fit((np.zeros((2, 2)), np.zeros(2), np.array([2])))
+
+
+# --- native TPU GBDT (jax_gbdt.py) -------------------------------------------
+
+
+def _synthetic_rank_data(nq, n=16, F=6, seed=0):
+    rng = np.random.RandomState(seed)
+    w = np.linspace(1.0, 2.0, F)
+    data, target, group = [], [], []
+    for _ in range(nq):
+        X = rng.randn(n, F)
+        s = X @ w + 0.3 * rng.randn(n)
+        y = np.digitize(s, np.quantile(s, [0.5, 0.75, 0.9]))
+        data.append(X)
+        target.append(y)
+        group.append(n)
+    return (np.concatenate(data), np.concatenate(target).astype(float),
+            np.asarray(group))
+
+
+def test_gbdt_grow_tree_finds_exact_split():
+    """depth-1 tree on one feature: the split must match brute force and the
+    leaves must be the Newton steps -G/(H+l2)."""
+    import jax.numpy as jnp
+
+    from ptranking_tpu.tree.jax_gbdt import grow_tree
+
+    rng = np.random.RandomState(3)
+    n, B = 64, 8
+    bins = rng.randint(0, B, size=(n, 1)).astype(np.int32)
+    grad = rng.randn(n).astype(np.float32)
+    hess = np.abs(rng.randn(n)).astype(np.float32) + 0.1
+
+    sf, sb, lv = grow_tree(jnp.asarray(bins), jnp.asarray(grad), jnp.asarray(hess),
+                           depth=1, num_bins=B, l2=1.0, min_child_hessian=0.0)
+    # brute force best bin threshold
+    def score(g, h):
+        return g * g / (h + 1.0)
+    total = score(grad.sum(), hess.sum())
+    gains = []
+    for t in range(B):
+        lm = bins[:, 0] <= t
+        gains.append(score(grad[lm].sum(), hess[lm].sum())
+                     + score(grad[~lm].sum(), hess[~lm].sum()) - total)
+    assert int(sb[0]) == int(np.argmax(gains))
+    lm = bins[:, 0] <= int(sb[0])
+    np.testing.assert_allclose(float(lv[0]), -grad[lm].sum() / (hess[lm].sum() + 1.0),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(lv[1]), -grad[~lm].sum() / (hess[~lm].sum() + 1.0),
+                               rtol=1e-5)
+
+
+def test_gbdt_predict_forest_matches_sum_of_trees():
+    import jax.numpy as jnp
+
+    from ptranking_tpu.tree.jax_gbdt import grow_tree, predict_forest, predict_tree
+
+    rng = np.random.RandomState(5)
+    n, F, B, D = 50, 4, 8, 3
+    bins = jnp.asarray(rng.randint(0, B, size=(n, F)).astype(np.int32))
+    trees = []
+    for t in range(4):
+        g = jnp.asarray(rng.randn(n).astype(np.float32))
+        h = jnp.asarray(np.abs(rng.randn(n)).astype(np.float32) + 0.1)
+        trees.append(grow_tree(bins, g, h, depth=D, num_bins=B, l2=0.5,
+                               min_child_hessian=0.0))
+    single = sum(np.asarray(predict_tree(bins, *t, D)) for t in trees)
+    stacked = predict_forest(bins,
+                             jnp.stack([t[0] for t in trees]),
+                             jnp.stack([t[1] for t in trees]),
+                             jnp.stack([t[2] for t in trees]), D)
+    np.testing.assert_allclose(np.asarray(stacked), single, rtol=1e-5)
+
+
+def test_gbdt_learns_ranking_and_roundtrips(tmp_path):
+    from ptranking_tpu.tree.jax_gbdt import GBDTConfig, TPUGBDTRanker, _ndcg_at_k
+
+    tr = _synthetic_rank_data(60, seed=0)
+    va = _synthetic_rank_data(15, seed=1)
+    te = _synthetic_rank_data(15, seed=2)
+    model = TPUGBDTRanker(GBDTConfig(num_trees=40, max_depth=4, num_bins=16,
+                                     learning_rate=0.2, early_stopping_rounds=40))
+    model.fit(*tr, vali=va)
+    pred = model.predict(te[0])
+    ndcg = _ndcg_at_k(pred, te[1], te[2], 5)
+    rand = _ndcg_at_k(np.random.RandomState(9).randn(len(te[1])), te[1], te[2], 5)
+    assert ndcg > rand + 0.2, (ndcg, rand)
+
+    path = str(tmp_path / "gbdt.model")
+    model.save(path)
+    from ptranking_tpu.tree.jax_gbdt import TPUGBDTRanker as R
+    re = R.load(path)
+    np.testing.assert_allclose(re.predict(te[0]), pred, rtol=1e-6)
+
+
+def test_tree_evaluator_native_fallback(tmp_path):
+    """kfold_cv_eval runs the native GBDT whether or not lightgbm exists."""
+    from ptranking_tpu.tree import TreeLTREvaluator
+
+    ev = TreeLTREvaluator()
+    cv = ev.kfold_cv_eval(model_id="TPUGBDTLambdaMART", data_id="SyntheticMQ",
+                          dir_output=str(tmp_path), debug=True)
+    assert cv["nDCG"].shape == (6,)
+    assert cv["nDCG"][2] > 0.3
