@@ -13,6 +13,11 @@ from ptranking_tpu.data.letor import (
     np_shuffle_ties_argsort,
     parse_letor_lines,
 )
+from ptranking_tpu.data.prefetch import (
+    initialize_distributed,
+    prefetch_to_device,
+    shard_for_process,
+)
 from ptranking_tpu.data.dataset import (
     BucketedDataset,
     make_synthetic_queries,
@@ -33,5 +38,8 @@ __all__ = [
     "BucketedDataset",
     "make_synthetic_queries",
     "random_mask_all_labels",
+    "initialize_distributed",
+    "prefetch_to_device",
+    "shard_for_process",
     "random_mask_rele_labels",
 ]

@@ -159,9 +159,12 @@ class LTREvaluator:
                             if eval_dict.get("do_summary") else None)
             loss_tape = OptLossTape() if eval_dict.get("loss_guided") else None
 
+            from ptranking_tpu.data.prefetch import prefetch_to_device
+
             for epoch_k in range(1, epochs + 1):
                 epoch_loss, stop = ranker.train_epoch(
-                    train.batches(shuffle=True, epoch=epoch_k), epoch_k=epoch_k
+                    prefetch_to_device(train.batches(shuffle=True, epoch=epoch_k)),
+                    epoch_k=epoch_k,
                 )
                 if stop:
                     print("training is failed !")

@@ -149,11 +149,15 @@ class DistributedTrainer:
         from ptranking_tpu.train.optimizer import epoch_lr, set_lr
 
         self.opt_state = set_lr(self.opt_state, epoch_lr(self.opt_cfg, epoch_k))
-        total, n = 0.0, 0
+        losses = []
         for batch in batches:
-            total += self.train_step(batch)
-            n += 1
-        return total / max(n, 1), False
+            self._key, sub = jax.random.split(self._key)
+            f, l, m = self._put(batch)
+            self.params, self.opt_state, loss = self._step(
+                self.params, self.opt_state, sub, f, l, m)
+            losses.append(loss)  # device-side; one sync at epoch end
+        total = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
+        return total / max(len(losses), 1), False
 
     def evaluate(self, batches, ks=(1, 3, 5, 10)):
         ks = tuple(ks)

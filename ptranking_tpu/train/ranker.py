@@ -133,8 +133,8 @@ class AdhocRanker:
         stop_check_freq epochs.
         """
         self.opt_state = set_lr(self.opt_state, epoch_lr(self.opt_cfg, epoch_k))
-        total_loss, num_queries = 0.0, 0
         check = (epoch_k % self.stop_check_freq) == 0
+        losses, num_queries = [], 0
         for batch in batches:
             self._key, sub = jax.random.split(self._key)
             if check:
@@ -146,8 +146,11 @@ class AdhocRanker:
             self.params, self.opt_state, loss = self._compiled_step(
                 self.params, self.opt_state, sub, batch.features, batch.labels, batch.mask
             )
-            total_loss += float(loss)
+            # keep losses on device: a float() here would sync every step and
+            # stall XLA's async dispatch pipeline
+            losses.append(loss)
             num_queries += int(np.sum(np.asarray(batch.mask).any(axis=-1)))
+        total_loss = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
         return total_loss / max(num_queries, 1), False
 
     def predict(self, batch: RankingBatch) -> jnp.ndarray:

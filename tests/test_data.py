@@ -135,3 +135,48 @@ def test_synthetic_is_learnable():
     qs = make_synthetic_queries(num_queries=20, seed=5)
     # the teacher signal must be recoverable: top-labeled doc has high feature norm corr
     assert all((l > 0).sum() >= 1 for _, _, l in qs)
+
+
+# --- prefetch / multi-host input sharding (data/prefetch.py) ------------------
+
+
+def test_prefetch_to_device_matches_plain():
+    import numpy as np
+
+    from ptranking_tpu.data import prefetch_to_device
+    from ptranking_tpu.data.dataset import BucketedDataset, make_synthetic_queries
+
+    qs = make_synthetic_queries(num_queries=20, num_features=8, seed=0)
+    ds = BucketedDataset(qs, batch_docs=256)
+    plain = list(ds.batches())
+    pre = list(prefetch_to_device(ds.batches()))
+    assert len(plain) == len(pre)
+    for a, b in zip(plain, pre):
+        np.testing.assert_allclose(np.asarray(a.features), np.asarray(b.features))
+        np.testing.assert_allclose(np.asarray(a.labels), np.asarray(b.labels))
+
+
+def test_prefetch_propagates_producer_errors():
+    import pytest
+
+    from ptranking_tpu.data import prefetch_to_device
+    from ptranking_tpu.data.dataset import BucketedDataset, make_synthetic_queries
+
+    qs = make_synthetic_queries(num_queries=4, num_features=4, seed=1)
+    batch = next(iter(BucketedDataset(qs, batch_docs=64).batches()))
+
+    def gen():
+        yield batch
+        raise ValueError("boom")
+
+    with pytest.raises(ValueError, match="boom"):
+        list(prefetch_to_device(gen()))
+
+
+def test_shard_for_process_partitions_everything():
+    from ptranking_tpu.data import shard_for_process
+
+    items = list(range(13))
+    shards = [shard_for_process(items, i, 4) for i in range(4)]
+    assert sorted(x for s in shards for x in s) == items
+    assert max(len(s) for s in shards) - min(len(s) for s in shards) <= 1
