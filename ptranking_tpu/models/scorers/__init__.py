@@ -53,6 +53,10 @@ class ScorerConfig:
         return self.bn_type == "BN2"
 
     @staticmethod
+    def default_pointsf(num_features: int, **overrides) -> "ScorerConfig":
+        return ScorerConfig(sf_id="pointsf", num_features=num_features, **overrides)
+
+    @staticmethod
     def default_listsf(num_features: int, **overrides) -> "ScorerConfig":
         base = dict(
             sf_id="listsf",
