@@ -127,7 +127,12 @@ def layer_norm_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     mean = jnp.mean(x, axis=-1, keepdims=True)
     n = x.shape[-1]
     var = jnp.sum(jnp.square(x - mean), axis=-1, keepdims=True) / max(n - 1, 1)
-    std = jnp.sqrt(var)
+    # grad-safe sqrt: a constant row (e.g. the all-zero output of an
+    # all-padded query at init) has var == 0, where d/dv sqrt(v) = inf would
+    # leak NaN into EVERY parameter's gradient. The double-where keeps the
+    # forward identical and routes the backward through the safe branch.
+    safe = var > 0
+    std = jnp.where(safe, jnp.sqrt(jnp.where(safe, var, 1.0)), 0.0)
     return p["a"] * (x - mean) / (std + _LN_EPS) + p["b"]
 
 

@@ -93,3 +93,34 @@ def test_scorer_is_jittable_and_grads_flow():
     leaves = jax.tree_util.tree_leaves(g)
     assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
     assert any(bool(jnp.any(l != 0)) for l in leaves)
+
+
+def test_listsf_grads_finite_with_all_padded_queries():
+    """Regression: at init an all-padded query's encoder input is exactly
+    zero; LayerNorm's sqrt(var=0) used to emit inf backward and poison every
+    parameter gradient (fixed with a grad-safe double-where)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ptranking_tpu.losses import get_loss
+    from ptranking_tpu.models import ScorerConfig, apply_scorer, init_scorer
+
+    B, N, F = 4, 8, 12
+    feats = jnp.zeros((B, N, F))
+    feats = feats.at[:2].set(jax.random.normal(jax.random.PRNGKey(0), (2, N, F)))
+    labels = jnp.zeros((B, N)).at[:2].set(
+        jax.random.randint(jax.random.PRNGKey(1), (2, N), 0, 3).astype(jnp.float32))
+    mask = jnp.zeros((B, N), bool).at[:2].set(True)  # queries 2,3 fully padded
+    loss_fn = get_loss("LambdaRank")
+
+    for enc in ("DASALC", "AllRank", "AttnDIN"):
+        cfg = ScorerConfig.default_listsf(num_features=F, encoder_layers=2,
+                                          encoder_type=enc)
+        params = init_scorer(jax.random.PRNGKey(137), cfg)
+
+        def f(p):
+            s = apply_scorer(p, cfg, feats, mask, training=False)
+            return loss_fn(s, labels, mask)
+
+        grads = jax.tree_util.tree_leaves(jax.grad(f)(params))
+        assert all(bool(jnp.all(jnp.isfinite(g))) for g in grads), enc
