@@ -108,7 +108,13 @@ def rank_cosine(scores, labels, mask, **_):
     s = jnp.where(mask, scores, 0.0)
     l = jnp.where(mask, labels, 0.0)
     dot = jnp.sum(s * l, axis=-1)
-    denom = jnp.sqrt(jnp.sum(s * s, axis=-1)) * jnp.sqrt(jnp.sum(l * l, axis=-1))
+
+    def safe_norm(v):  # sqrt with a zero-safe backward (d sqrt(0) = inf)
+        sq = jnp.sum(v * v, axis=-1)
+        pos = sq > 0
+        return jnp.where(pos, jnp.sqrt(jnp.where(pos, sq, 1.0)), 0.0)
+
+    denom = safe_norm(s) * safe_norm(l)
     cos = dot / jnp.maximum(denom, 1e-8)  # torch CosineSimilarity eps=1e-8
     return jnp.sum((1.0 - cos) / 0.5)
 

@@ -177,3 +177,22 @@ def test_sinkhorn_identity_transport_is_cheap():
 def test_unknown_model_id_raises():
     with pytest.raises(KeyError):
         get_loss("TwinRank")  # phantom id from reference ltr.py:166-171
+
+
+@pytest.mark.parametrize("model_id", sorted(LOSSES))
+def test_grads_finite_with_degenerate_queries(model_id):
+    """All-padded and single-doc queries in the batch must not poison grads
+    (companion to the LayerNorm var=0 regression in test_scorers)."""
+    scores, labels, mask = base_batch()
+    mask = mask.at[0].set(False)        # query 0 fully padded
+    mask = mask.at[1, 1:].set(False)    # query 1 has a single real doc
+    labels = jnp.where(mask, labels, 0.0)
+
+    def f(s):
+        return call(model_id, s, labels, mask)
+
+    v = f(scores)
+    g = jax.grad(f)(scores)
+    assert bool(jnp.isfinite(v)), model_id
+    assert bool(jnp.all(jnp.isfinite(jnp.where(mask, g, 0.0)))), model_id
+    assert bool(jnp.all(jnp.where(mask, 0.0, g) == 0.0)), model_id
