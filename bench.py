@@ -19,9 +19,9 @@ import time
 import numpy as np
 
 N, F = 128, 136          # docs/list, features (WEB30K shape)
-B = 2048                  # TPU batch: the chip's best operating point
+B = 128                   # TPU batch: best measured operating point
 B_TORCH = 32              # CPU torch batch: CPU is rate-saturated already
-STEPS = 30
+STEPS = 40
 WARMUP = 5
 RECORDED_TORCH_CPU_LISTS_PER_S = None  # filled by --record-baseline; see below
 
@@ -54,13 +54,15 @@ def bench_jax() -> float:
         key, sub = jax.random.split(key)
         ranker.params, ranker.opt_state, loss = ranker._compiled_step(
             ranker.params, ranker.opt_state, sub, feats, labels, mask)
-    jax.block_until_ready(loss)
+    float(loss)  # NOT block_until_ready: on the remote-TPU (axon) backend it
+    # can return before queued donated-buffer steps finish, under-measuring by
+    # >50x; fetching the value forces a real device->host read.
     t0 = time.perf_counter()
     for _ in range(STEPS):
         key, sub = jax.random.split(key)
         ranker.params, ranker.opt_state, loss = ranker._compiled_step(
             ranker.params, ranker.opt_state, sub, feats, labels, mask)
-    jax.block_until_ready(loss)
+    float(loss)
     dt = time.perf_counter() - t0
     return B * STEPS / dt
 
