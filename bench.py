@@ -19,9 +19,9 @@ import time
 import numpy as np
 
 N, F = 128, 136          # docs/list, features (WEB30K shape)
-B = 128                   # TPU batch: best measured operating point
+B = 512                   # TPU batch: best measured operating point (bf16)
 B_TORCH = 32              # CPU torch batch: CPU is rate-saturated already
-STEPS = 40
+STEPS = 20
 WARMUP = 5
 RECORDED_TORCH_CPU_LISTS_PER_S = None  # filled by --record-baseline; see below
 
@@ -33,7 +33,8 @@ def bench_jax() -> float:
     from ptranking_tpu.models import ScorerConfig
     from ptranking_tpu.train import AdhocRanker, OptimizerConfig
 
-    cfg = ScorerConfig.default_listsf(num_features=F, dropout=0.1)
+    cfg = ScorerConfig.default_listsf(num_features=F, dropout=0.1,
+                                  compute_dtype="bfloat16")
     ranker = AdhocRanker(
         "LambdaRank", cfg, opt_cfg=OptimizerConfig(opt="Adagrad", lr=1e-3)
     ).init()

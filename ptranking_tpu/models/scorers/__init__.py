@@ -47,6 +47,10 @@ class ScorerConfig:
     n_heads: int = 2
     encoder_layers: int = 6
     encoder_type: str = "DASALC"  # DASALC | AllRank | AttnDIN
+    # MXU precision: 'bfloat16' casts params+activations for the scorer
+    # compute (master params, norm statistics, attention logits and the loss
+    # stay fp32)
+    compute_dtype: str = "float32"
 
     @property
     def bn_per_query(self) -> bool:
@@ -109,6 +113,15 @@ def apply_scorer(
 ) -> jnp.ndarray:
     """Score a padded batch: [B, N, F] -> [B, N]. Padded docs score garbage by
     design — every consumer applies `mask`."""
+    out_dtype = x.dtype
+    if cfg.compute_dtype == "bfloat16":
+        cast = lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a
+        params = jax.tree_util.tree_map(cast, params)
+        x = x.astype(jnp.bfloat16)
+
+    def finish(scores):
+        return scores.astype(out_dtype)
+
     if cfg.sf_id.startswith("pointsf"):
         out = ffn_apply(
             params["point_sf"], x, mask,
@@ -116,7 +129,7 @@ def apply_scorer(
             BN=cfg.BN, bn_per_query=cfg.bn_per_query,
             drop_rate=cfg.dropout, training=training, key=key,
         )
-        return out[..., 0]
+        return finish(out[..., 0])
 
     elif cfg.sf_id.startswith("listsf"):
         if training and key is not None:
@@ -155,6 +168,6 @@ def apply_scorer(
             BN=cfg.BN, bn_per_query=cfg.bn_per_query,
             drop_rate=cfg.dropout, training=training, key=k_tail,
         )
-        return out[..., 0]
+        return finish(out[..., 0])
 
     raise NotImplementedError(cfg.sf_id)

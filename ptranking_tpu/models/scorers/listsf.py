@@ -67,11 +67,12 @@ def mhsa_apply(
 
     q, k, v = heads(q), heads(k), heads(v)
     logits = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
-    logits = logits / jnp.sqrt(jnp.asarray(d_head, x.dtype))
+    logits = logits / jnp.sqrt(jnp.asarray(d_head, jnp.float32))
     logits = jnp.where(mask[:, None, None, :], logits, PAD_SCORE)
-    attn = jax.nn.softmax(logits, axis=-1)
+    attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)  # softmax fp32
     attn = dropout(key, attn, drop_rate, training)
-    out = jnp.einsum("bhnm,bhmd->bhnd", attn, v, preferred_element_type=jnp.float32)
+    out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
     out = out.transpose(0, 2, 1, 3).reshape(B, N, F)
     return linear_apply(p["fc"], out)
 

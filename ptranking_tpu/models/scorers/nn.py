@@ -75,7 +75,10 @@ def linear_init(key: jax.Array, d_in: int, d_out: int, dtype=jnp.float32) -> Par
 
 
 def linear_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.dot(x, p["w"], preferred_element_type=jnp.float32) + p["b"]
+    # MXU-native mixed precision: bf16 operands accumulate in fp32, then the
+    # result returns to the activation dtype so the NEXT matmul stays bf16
+    y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32) + p["b"]
+    return y.astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -102,6 +105,8 @@ def masked_batch_norm(
 
     x: [B, N, F]; mask: [B, N] bool.
     """
+    in_dtype = x.dtype
+    x = x.astype(jnp.float32)  # statistics in fp32 even under bf16 compute
     m = mask[..., None].astype(x.dtype)  # [B, N, 1]
     if per_query:
         axes: Tuple[int, ...] = (1,)
@@ -112,9 +117,9 @@ def masked_batch_norm(
     var = jnp.sum(jnp.square(x - mean) * m, axis=axes, keepdims=True) / count
     y = (x - mean) * jax.lax.rsqrt(var + _BN_EPS)
     if "gamma" in p:
-        y = y * p["gamma"] + p["beta"]
+        y = y * p["gamma"].astype(x.dtype) + p["beta"].astype(x.dtype)
     # keep padded rows at zero so they cannot leak through later layers
-    return y * m
+    return (y * m).astype(in_dtype)
 
 
 def layer_norm_init(num_features: int, dtype=jnp.float32) -> Params:
@@ -124,6 +129,8 @@ def layer_norm_init(num_features: int, dtype=jnp.float32) -> Params:
 def layer_norm_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """LayerNorm matching reference list_ranker.py:152-174: normalises by the
     UNBIASED std (torch .std default) and adds eps to std (not variance)."""
+    in_dtype = x.dtype
+    x = x.astype(jnp.float32)  # statistics in fp32 even under bf16 compute
     mean = jnp.mean(x, axis=-1, keepdims=True)
     n = x.shape[-1]
     var = jnp.sum(jnp.square(x - mean), axis=-1, keepdims=True) / max(n - 1, 1)
@@ -133,7 +140,9 @@ def layer_norm_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     # forward identical and routes the backward through the safe branch.
     safe = var > 0
     std = jnp.where(safe, jnp.sqrt(jnp.where(safe, var, 1.0)), 0.0)
-    return p["a"] * (x - mean) / (std + _LN_EPS) + p["b"]
+    a = p["a"].astype(x.dtype)
+    b = p["b"].astype(x.dtype)
+    return (a * (x - mean) / (std + _LN_EPS) + b).astype(in_dtype)
 
 
 def dropout(key: Optional[jax.Array], x: jnp.ndarray, rate: float, training: bool) -> jnp.ndarray:

@@ -124,3 +124,29 @@ def test_listsf_grads_finite_with_all_padded_queries():
 
         grads = jax.tree_util.tree_leaves(jax.grad(f)(params))
         assert all(bool(jnp.all(jnp.isfinite(g))) for g in grads), enc
+
+
+def test_bfloat16_compute_matches_fp32_closely():
+    """compute_dtype='bfloat16' keeps fp32 inputs/outputs and tracks the fp32
+    scores to bf16 tolerance (master params, norm stats and softmax stay
+    fp32)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ptranking_tpu.models import ScorerConfig, apply_scorer, init_scorer
+
+    B, N, F = 4, 16, 24
+    feats = jax.random.normal(jax.random.PRNGKey(0), (B, N, F))
+    mask = jnp.ones((B, N), bool).at[1, 10:].set(False)
+    for sf in ("pointsf", "listsf"):
+        mk = (ScorerConfig.default_pointsf if sf == "pointsf"
+              else ScorerConfig.default_listsf)
+        cfg32 = mk(num_features=F)
+        cfg16 = mk(num_features=F, compute_dtype="bfloat16")
+        params = init_scorer(jax.random.PRNGKey(137), cfg32)
+        s32 = apply_scorer(params, cfg32, feats, mask, training=False)
+        s16 = apply_scorer(params, cfg16, feats, mask, training=False)
+        assert s16.dtype == jnp.float32, sf
+        denom = jnp.maximum(jnp.max(jnp.abs(jnp.where(mask, s32, 0.0))), 1e-3)
+        rel = jnp.max(jnp.abs(jnp.where(mask, s32 - s16, 0.0))) / denom
+        assert float(rel) < 0.15, (sf, float(rel))
