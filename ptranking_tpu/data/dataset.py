@@ -90,18 +90,25 @@ class BucketedDataset:
         raw = max(1, self.batch_docs // bucket)
         return 1 << (raw.bit_length() - 1)  # round down to power of two
 
-    def batches(self, shuffle: bool = False, epoch: int = 0, drop_remainder: bool = False
-                ) -> Iterator[RankingBatch]:
+    def batches(self, shuffle: bool = False, epoch: int = 0, drop_remainder: bool = False,
+                percent: Optional[float] = None) -> Iterator[RankingBatch]:
         """Yield fixed-shape batches. The remainder of each bucket is padded
         with all-masked queries up to the fixed batch size (never dropped by
-        default), keeping shapes static."""
+        default), keeping shapes static.
+
+        percent in (0, 1]: sample that fraction of each bucket's queries per
+        epoch (reference LETORPercentSampler, data_utils.py:744-760)."""
         rng = np.random.RandomState(self.seed + epoch)
         order_of_buckets = list(self._packed.keys())
         for b in order_of_buckets:
             feats, labels, mask, qids = self._packed[b]
             Q = feats.shape[0]
             B = self.batch_size_for(b)
-            idx = rng.permutation(Q) if shuffle else np.arange(Q)
+            idx = rng.permutation(Q) if (shuffle or percent) else np.arange(Q)
+            if percent is not None:
+                assert 0.0 < percent <= 1.0
+                idx = idx[: max(1, int(Q * percent))]
+                Q = len(idx)
             n_full = Q // B
             for i in range(n_full):
                 sl = idx[i * B:(i + 1) * B]

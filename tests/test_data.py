@@ -180,3 +180,22 @@ def test_shard_for_process_partitions_everything():
     shards = [shard_for_process(items, i, 4) for i in range(4)]
     assert sorted(x for s in shards for x in s) == items
     assert max(len(s) for s in shards) - min(len(s) for s in shards) <= 1
+
+
+def test_percent_sampling():
+    """percent samples a fraction of each bucket's queries per epoch
+    (reference LETORPercentSampler, data_utils.py:744-760)."""
+    import numpy as np
+
+    from ptranking_tpu.data.dataset import BucketedDataset, make_synthetic_queries
+
+    qs = make_synthetic_queries(num_queries=40, num_features=6, min_docs=12,
+                                max_docs=12, seed=3)
+    ds = BucketedDataset(qs, batch_docs=16 * 4, buckets=(16,))
+    full = sum(int(np.asarray(b.mask).any(-1).sum()) for b in ds.batches())
+    half = sum(int(np.asarray(b.mask).any(-1).sum()) for b in ds.batches(percent=0.5))
+    assert full == 40 and half == 20
+    # different epochs sample different subsets
+    e1 = {int(q) for b in ds.batches(percent=0.5, epoch=1) for q in np.asarray(b.qids) if q >= 0}
+    e2 = {int(q) for b in ds.batches(percent=0.5, epoch=2) for q in np.asarray(b.qids) if q >= 0}
+    assert e1 != e2
