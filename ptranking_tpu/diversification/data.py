@@ -186,3 +186,24 @@ class DivBucketedDataset:
 
     def __len__(self):
         return sum(math.ceil(len(v) / self.batch_queries) for v in self._by_bucket.values() if v)
+
+
+def rerank_queries(queries, ranker, top_k: int):
+    """Two-stage rerank: a trained discriminator scores each query's docs and
+    only its top-k survive into the second-stage dataset (reference
+    RerankDIVDataset + deploy_1st_stage_div_discriminating,
+    div_data.py:130-192). Docs are kept in first-stage score order; queries
+    with <= top_k docs pass through unchanged."""
+    out = []
+    ds = DivBucketedDataset(queries, batch_queries=1)
+    ordered = [q for b in ds.doc_buckets for q in ds._by_bucket[b]]
+    for q, batch in zip(ordered, ds.batches()):
+        n = q.doc_reprs.shape[0]
+        if n <= top_k:
+            out.append(q)
+            continue
+        scores = np.asarray(ranker.predict(batch))[0][:n]
+        keep = np.argsort(-scores, kind="stable")[:top_k]
+        out.append(DivQuery(q.qid, q.q_repr, q.doc_reprs[keep],
+                            q.rele_mat[:, keep]))
+    return out

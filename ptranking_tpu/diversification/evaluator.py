@@ -98,7 +98,9 @@ class DivLTREvaluator:
                     debug: bool = False, epochs: Optional[int] = None,
                     model_paras: Optional[dict] = None, sf_id: str = "pointsf",
                     vali_k: int = 5, cutoffs=(1, 3, 5, 10, 20),
-                    batch_queries: int = 8, write_run_files: bool = False):
+                    batch_queries: int = 8, write_run_files: bool = False,
+                    rerank_top_k: Optional[int] = None,
+                    rerank_discriminator: Optional[str] = None):
         """(reference div_cv_eval, ltr_diversification.py:304-378; epochs
         default 500, div_parameter.py:322-326 — debug shrinks to 5)."""
         assert model_id in DIV_MODELS
@@ -119,6 +121,20 @@ class DivLTREvaluator:
         fold_metrics: List[Dict[str, np.ndarray]] = []
         for fold_k in range(1, fold_num + 1):
             train_qs, vali_qs, test_qs = self.load_fold(data_dict, fold_k)
+            if rerank_top_k is not None:
+                # 2-stage mode (reference ltr_diversification.py:296-303,
+                # 323-339): a pretrained 1st-stage discriminator keeps only
+                # its top-k docs per query before 2nd-stage training
+                from ptranking_tpu.diversification.data import rerank_queries
+
+                disc = DivRanker(model_id, scorer_cfg, model_paras=paras,
+                                 opt_cfg=OptimizerConfig(opt="Adam", lr=1e-3),
+                                 seed=1 + fold_k).init()
+                if rerank_discriminator is not None:
+                    disc.load(rerank_discriminator.format(fold=fold_k))
+                train_qs = rerank_queries(train_qs, disc, rerank_top_k)
+                vali_qs = rerank_queries(vali_qs, disc, rerank_top_k)
+                test_qs = rerank_queries(test_qs, disc, rerank_top_k)
             train = DivBucketedDataset(train_qs, batch_queries=batch_queries)
             vali = DivBucketedDataset(vali_qs, batch_queries=batch_queries)
             test = DivBucketedDataset(test_qs, batch_queries=batch_queries)

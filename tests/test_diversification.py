@@ -149,3 +149,39 @@ def test_trec_artifact_writers(tmp_path):
     rows = run.read_text().splitlines()
     # qids are normalized to numeric TREC topics (ndeval contract)
     assert rows[0].split()[:4] == ["1", "Q0", "docA", "1"]
+
+
+def test_rerank_queries_keeps_discriminator_topk():
+    import numpy as np
+
+    from ptranking_tpu.diversification.data import (
+        DivBucketedDataset, make_synthetic_div_queries, rerank_queries)
+    from ptranking_tpu.diversification.evaluator import DIV_DEFAULT_PARAS
+    from ptranking_tpu.diversification.ranker import DivRanker
+    from ptranking_tpu.diversification.scorers import DivScorerConfig
+    from ptranking_tpu.train.optimizer import OptimizerConfig
+
+    qs = make_synthetic_div_queries(num_queries=6, seed=4)
+    cfg = DivScorerConfig(sf_id="pointsf", num_features=qs[0].q_repr.shape[0])
+    disc = DivRanker("DALETOR", cfg, model_paras=DIV_DEFAULT_PARAS["DALETOR"],
+                     opt_cfg=OptimizerConfig(opt="Adam", lr=1e-3), seed=7).init()
+    k = 8
+    rr = rerank_queries(qs, disc, top_k=k)
+    assert len(rr) == len(qs)
+    by_qid = {q.qid: q for q in qs}
+    for q in rr:
+        orig = by_qid[q.qid]
+        assert q.doc_reprs.shape[0] == min(k, orig.doc_reprs.shape[0])
+        assert q.rele_mat.shape[1] == q.doc_reprs.shape[0]
+        # surviving docs are real docs of the original query
+        for row in q.doc_reprs:
+            assert any(np.allclose(row, o) for o in orig.doc_reprs)
+
+
+def test_div_cv_eval_rerank_mode(tmp_path):
+    from ptranking_tpu.diversification import DivLTREvaluator
+
+    ev = DivLTREvaluator()
+    cv = ev.div_cv_eval("DALETOR", data_id="SyntheticDiv", debug=True, epochs=2,
+                        dir_output=str(tmp_path), rerank_top_k=8)
+    assert "aNDCG" in cv
