@@ -130,8 +130,10 @@ def _single_raw_forward(params, cfg: DivScorerConfig, q_repr, doc_reprs, mask,
         emb = ffn_apply(params["co_ffnns"], cat2, mask, AF=cfg.AF, apply_tl_af=False,
                         BN=cfg.BN, bn_per_query=cfg.bn_type == "BN2",
                         drop_rate=cfg.dropout, training=training, key=k_co)
-        norm = jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-8)
-        unit = emb / norm
+        sq = jnp.sum(emb * emb, axis=-1, keepdims=True)
+        pos = sq > 0  # grad-safe: d sqrt(0) = inf would leak NaN via pads
+        norm = jnp.where(pos, jnp.sqrt(jnp.where(pos, sq, 1.0)), 0.0)
+        unit = emb / jnp.maximum(norm, 1e-8)
         cocos = jnp.einsum("bnd,bmd->bnm", unit, unit)
     return out, cocos
 

@@ -8,6 +8,7 @@ TP collectives and doc-axis gathers are inserted by XLA and ride ICI.
 """
 
 from ptranking_tpu.parallel.mesh import (
+    expert_param_sharding,
     MeshConfig,
     make_mesh,
     batch_sharding,
@@ -17,6 +18,7 @@ from ptranking_tpu.parallel.mesh import (
 from ptranking_tpu.parallel.train import DistributedTrainer
 
 __all__ = [
+    "expert_param_sharding",
     "MeshConfig",
     "make_mesh",
     "batch_sharding",

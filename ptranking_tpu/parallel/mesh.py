@@ -132,3 +132,16 @@ def scorer_param_sharding(mesh: Mesh, params) -> object:
         spec,
         is_leaf=lambda x: isinstance(x, P),
     )
+
+
+def expert_param_sharding(mesh: Mesh, cluster_params) -> object:
+    """EP: shard the cluster-of-K MDN scorers (leading K axis on every leaf,
+    diversification/scorers.py init_div_scorer cluster branch) over the
+    `model` mesh axis — each device group holds K/model_parallelism experts.
+    Generalises reference DivMDNRanker's cluster of K scorers
+    (div_mdn_ranker.py:47-58,256-268), which the single-device reference
+    evaluates serially."""
+    def spec(leaf):
+        return NamedSharding(mesh, P("model", *([None] * (leaf.ndim - 1))))
+
+    return jax.tree_util.tree_map(spec, cluster_params)

@@ -82,3 +82,39 @@ def test_cp_doc_axis_sharding_matches():
 def test_dp_training_learns():
     losses, metrics, _ = _run_trainer(MeshConfig(data=8), steps=20)
     assert losses[-1] < losses[0]
+
+
+def test_expert_parallel_cluster_sharding():
+    """EP: cluster-of-K MDN scorer params shard over the model axis; the
+    sharded forward matches the single-device one."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ptranking_tpu.diversification.scorers import (
+        DivScorerConfig, div_forward, init_div_scorer)
+    from ptranking_tpu.parallel.mesh import MeshConfig, expert_param_sharding, make_mesh
+
+    mesh = make_mesh(MeshConfig(data=2, model=4, seq=1))
+    K = 4
+    cfg = DivScorerConfig(sf_id="pointsf", num_features=10, K=K, cluster=True)
+    params = init_div_scorer(jax.random.PRNGKey(0), cfg)
+    leading = jax.tree_util.tree_leaves(params)[0].shape[0]
+    assert leading == K
+
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(8, 10), jnp.float32)
+    d = jnp.asarray(rng.randn(8, 16, 10), jnp.float32)
+    m = jnp.ones((8, 16), bool).at[0, 10:].set(False)
+
+    mus_ref, vars_ref, _ = div_forward(params, cfg, q, d, m)
+
+    shardings = expert_param_sharding(mesh, params)
+    sharded = jax.device_put(params, shardings)
+    fwd = jax.jit(lambda p: div_forward(p, cfg, q, d, m), in_shardings=(shardings,))
+    mus, vars_, _ = fwd(sharded)
+    np.testing.assert_allclose(np.asarray(mus), np.asarray(mus_ref), atol=1e-5)
+    # the variance head goes through exp/softplus; sharded reduction order
+    # shifts the logits by ~1ulp which the exponential amplifies
+    np.testing.assert_allclose(np.asarray(vars_), np.asarray(vars_ref),
+                               rtol=2e-3, atol=1e-4)
