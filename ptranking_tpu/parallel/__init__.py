@@ -15,9 +15,17 @@ from ptranking_tpu.parallel.mesh import (
     replicated,
     scorer_param_sharding,
 )
+from ptranking_tpu.parallel.pipeline import (
+    gpipe,
+    pipeline_encoder_apply,
+    stack_encoder_layers,
+)
 from ptranking_tpu.parallel.train import DistributedTrainer
 
 __all__ = [
+    "gpipe",
+    "pipeline_encoder_apply",
+    "stack_encoder_layers",
     "expert_param_sharding",
     "MeshConfig",
     "make_mesh",

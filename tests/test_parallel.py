@@ -118,3 +118,46 @@ def test_expert_parallel_cluster_sharding():
     # shifts the logits by ~1ulp which the exponential amplifies
     np.testing.assert_allclose(np.asarray(vars_), np.asarray(vars_ref),
                                rtol=2e-3, atol=1e-4)
+
+
+def test_gpipe_matches_sequential_oracle():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ptranking_tpu.parallel.mesh import MeshConfig, make_mesh
+    from ptranking_tpu.parallel.pipeline import gpipe, gpipe_reference
+
+    mesh = make_mesh(MeshConfig(data=2, model=4, seq=1))
+    P_, M, B, N, F = 4, 6, 4, 16, 8
+    rng = np.random.RandomState(0)
+    W = jnp.asarray(rng.randn(P_, F, F) * 0.3, jnp.float32)
+    xs = jnp.asarray(rng.randn(M, B, N, F), jnp.float32)
+    stage_fn = lambda w, x: jnp.tanh(x @ w)
+    out = gpipe(stage_fn, W, xs, mesh, axis_name="model")
+    ref = gpipe_reference(stage_fn, W, xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_pipeline_encoder_matches_single_device():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ptranking_tpu.models.scorers import listsf as _listsf
+    from ptranking_tpu.parallel.mesh import MeshConfig, make_mesh
+    from ptranking_tpu.parallel.pipeline import pipeline_encoder_apply
+
+    mesh = make_mesh(MeshConfig(data=2, model=4, seq=1))
+    F, B, N = 8, 8, 16
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, N, F), jnp.float32)
+    mask = jnp.ones((B, N), bool).at[1, 10:].set(False)
+    for enc_type in ("DASALC", "AttnDIN"):
+        enc = _listsf.encoder_init(jax.random.PRNGKey(0), F, 4, enc_type)
+        ref = _listsf.encoder_apply(enc, x, mask, 2, enc_type,
+                                    drop_rate=0.0, training=False)
+        out = pipeline_encoder_apply(enc, x, mask, 2, enc_type, mesh,
+                                     num_microbatches=4)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, err_msg=enc_type)
