@@ -87,9 +87,16 @@ class LTREvaluator:
             train_qs = masker(train_qs, eval_dict["mask_ratio"])
 
         F = data_dict["num_features"]
+        # vali/test batches match the reference's 100-doc rough batches
+        # (parameter.py:581,590): the BN scorer uses BATCH statistics at eval
+        # (track_running_stats=False parity), so a much larger eval batch
+        # shifts the normalisation away from what training saw and silently
+        # wrecks nDCG
+        vali_bd = int(data_dict.get("validation_rough_batch_size", 100))
+        test_bd = int(data_dict.get("test_rough_batch_size", 100))
         train = BucketedDataset(train_qs, batch_docs=batch_docs, num_features=F)
-        test = BucketedDataset(test_qs, batch_docs=max(batch_docs, 2048), num_features=F)
-        vali = (BucketedDataset(vali_qs, batch_docs=max(batch_docs, 2048), num_features=F)
+        test = BucketedDataset(test_qs, batch_docs=test_bd, num_features=F)
+        vali = (BucketedDataset(vali_qs, batch_docs=vali_bd, num_features=F)
                 if vali_qs is not None else None)
         return train, test, vali
 

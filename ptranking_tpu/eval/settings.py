@@ -75,6 +75,9 @@ class DataSetting:
             # reference default train_rough_batch_size=100 docs (parameter.py:590);
             # on TPU a batch should fill the chip — tr_batch_size here is DOCS/batch.
             tr_batch_size=_first(j.get("tr_batch_size", 100)),
+            # reference hard-codes 100-doc vali/test batches (parameter.py:581,590)
+            validation_rough_batch_size=_first(j.get("validation_rough_batch_size", 100)),
+            test_rough_batch_size=_first(j.get("test_rough_batch_size", 100)),
         )
         self.data_dict = d
         return d

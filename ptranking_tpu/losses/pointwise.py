@@ -11,4 +11,8 @@ def rank_mse(scores, labels, mask, **_):
     """
     sq = jnp.square(scores - labels)
     per_query = jnp.sum(jnp.where(mask, sq, 0.0), axis=-1)
-    return jnp.mean(per_query)
+    # mean over REAL queries only: all-padded remainder rows of a bucketed
+    # batch must not inflate the denominator (the reference never pads, so its
+    # torch.mean over the batch axis sees real queries only)
+    real = jnp.sum(jnp.any(mask, axis=-1).astype(per_query.dtype))
+    return jnp.sum(per_query) / jnp.maximum(real, 1.0)
