@@ -15,6 +15,12 @@ from ptranking_tpu.parallel.mesh import (
     replicated,
     scorer_param_sharding,
 )
+from ptranking_tpu.parallel.ring import (
+    reference_attention,
+    ring_attention,
+    ring_lambda_loss,
+    ulysses_attention,
+)
 from ptranking_tpu.parallel.pipeline import (
     gpipe,
     pipeline_encoder_apply,
@@ -23,6 +29,10 @@ from ptranking_tpu.parallel.pipeline import (
 from ptranking_tpu.parallel.train import DistributedTrainer
 
 __all__ = [
+    "reference_attention",
+    "ring_attention",
+    "ring_lambda_loss",
+    "ulysses_attention",
     "gpipe",
     "pipeline_encoder_apply",
     "stack_encoder_layers",

@@ -1,0 +1,209 @@
+"""Context parallelism over the document axis: ring + Ulysses attention.
+
+SURVEY §5.7: candidate lists reach ~1,300 docs (MSLR-WEB30K) and the listwise
+scorer's MHSA builds an n x n matrix per head (reference list_ranker.py:
+232-245) — on one device that caps n by HBM. These primitives shard the doc
+axis across the mesh's `seq` axis:
+
+  * ring_attention — exact blockwise attention: each device keeps its local
+    query block and rotates (k, v, mask) blocks around the ring with
+    `jax.lax.ppermute`, maintaining a running-max online softmax
+    (flash-attention style), so only n/P-sized blocks ever exist per device
+    and the communication rides ICI neighbor links.
+  * ulysses_attention — all-to-all alternative: swap the sharded axis from
+    docs to heads, run ordinary full-length attention on each device's head
+    subset, swap back. One collective each way, best when H >= P.
+
+Both match the single-device masked softmax attention exactly (tests compare
+against models/scorers/listsf.mhsa_apply's core on a CPU mesh).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+_NEG = -1e9
+
+
+def _sdpa_block(q, k, v, kmask, scale):
+    """One (q-block, kv-block) partial attention: returns (num, denom, m).
+
+    q: [B, H, nq, d]; k/v: [B, H, nk, d]; kmask: [B, nk].
+    num   = sum_j exp(logit_j - m) v_j      [B, H, nq, d]
+    denom = sum_j exp(logit_j - m)          [B, H, nq]
+    m     = max_j logit_j                   [B, H, nq]
+    """
+    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    logits = jnp.where(kmask[:, None, None, :], logits, _NEG)
+    m = jnp.max(logits, axis=-1)
+    p = jnp.exp(logits - m[..., None])
+    denom = jnp.sum(p, axis=-1)
+    num = jnp.einsum("bhnm,bhmd->bhnd", p.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return num, denom, m
+
+
+def ring_attention(
+    q: jnp.ndarray,   # [B, H, N, d] — N sharded over `axis_name`
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: jnp.ndarray,  # [B, N] — sharded like N
+    mesh: Mesh,
+    axis_name: str = "seq",
+) -> jnp.ndarray:
+    """Exact doc-axis-sharded attention; output sharded like q."""
+    P_ = mesh.shape[axis_name]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(q.shape[-1], jnp.float32))
+    perm = [(i, (i + 1) % P_) for i in range(P_)]
+
+    def per_device(q_l, k_l, v_l, m_l):
+        def step(carry, _):
+            k_c, v_c, m_c, num, denom, mx = carry
+            pn, pd, pm = _sdpa_block(q_l, k_c, v_c, m_c, scale)
+            new_mx = jnp.maximum(mx, pm)
+            alpha = jnp.exp(mx - new_mx)     # rescale old accumulators
+            beta = jnp.exp(pm - new_mx)      # rescale this block
+            num = num * alpha[..., None] + pn * beta[..., None]
+            denom = denom * alpha + pd * beta
+            k_n = jax.lax.ppermute(k_c, axis_name, perm)
+            v_n = jax.lax.ppermute(v_c, axis_name, perm)
+            m_n = jax.lax.ppermute(m_c, axis_name, perm)
+            return (k_n, v_n, m_n, num, denom, new_mx), None
+
+        B, H, nq, d = q_l.shape
+        init = (
+            k_l, v_l, m_l,
+            jnp.zeros((B, H, nq, d), jnp.float32),
+            jnp.zeros((B, H, nq), jnp.float32),
+            jnp.full((B, H, nq), -jnp.inf, jnp.float32),
+        )
+        (k_c, v_c, m_c, num, denom, mx), _ = jax.lax.scan(
+            step, init, None, length=P_)
+        out = num / jnp.maximum(denom, 1e-30)[..., None]
+        return out.astype(q_l.dtype)
+
+    spec_qkv = P(None, None, axis_name, None)
+    spec_m = P(None, axis_name)
+    return shard_map(
+        per_device, mesh=mesh,
+        in_specs=(spec_qkv, spec_qkv, spec_qkv, spec_m),
+        out_specs=spec_qkv, check_rep=False,
+    )(q, k, v, mask)
+
+
+def ulysses_attention(
+    q: jnp.ndarray,   # [B, H, N, d] — N sharded over `axis_name`; H % P == 0
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: jnp.ndarray,  # [B, N]
+    mesh: Mesh,
+    axis_name: str = "seq",
+) -> jnp.ndarray:
+    """All-to-all CP: swap shard axis docs->heads, full attention, swap back."""
+    P_ = mesh.shape[axis_name]
+    assert q.shape[1] % P_ == 0, "heads must divide the seq-parallel degree"
+    scale = 1.0 / jnp.sqrt(jnp.asarray(q.shape[-1], jnp.float32))
+
+    def per_device(q_l, k_l, v_l, m_l):
+        # [B, H, n_loc, d] -> all_to_all -> [B, H/P, N, d]
+        def swap_in(t):
+            return jax.lax.all_to_all(t, axis_name, split_axis=1,
+                                      concat_axis=2, tiled=True)
+
+        def swap_out(t):
+            return jax.lax.all_to_all(t, axis_name, split_axis=2,
+                                      concat_axis=1, tiled=True)
+
+        qh, kh, vh = swap_in(q_l), swap_in(k_l), swap_in(v_l)
+        m_full = jax.lax.all_gather(m_l, axis_name, axis=1, tiled=True)  # [B, N]
+        num, denom, mx = _sdpa_block(qh, kh, vh, m_full, scale)
+        out = num / jnp.maximum(denom, 1e-30)[..., None]
+        return swap_out(out.astype(q_l.dtype))
+
+    spec_qkv = P(None, None, axis_name, None)
+    spec_m = P(None, axis_name)
+    return shard_map(
+        per_device, mesh=mesh,
+        in_specs=(spec_qkv, spec_qkv, spec_qkv, spec_m),
+        out_specs=spec_qkv, check_rep=False,
+    )(q, k, v, mask)
+
+
+def reference_attention(q, k, v, mask):
+    """Single-device oracle with the same masking semantics."""
+    scale = 1.0 / jnp.sqrt(jnp.asarray(q.shape[-1], jnp.float32))
+    num, denom, _ = _sdpa_block(q, k, v, mask, scale)
+    return (num / jnp.maximum(denom, 1e-30)[..., None]).astype(q.dtype)
+
+
+def ring_lambda_loss(
+    sorted_scores: jnp.ndarray,   # [B, N] sorted desc by score; N sharded
+    sorted_labels: jnp.ndarray,   # [B, N] labels in that order
+    n_gains: jnp.ndarray,         # [B, N] gain/IDCG, zero at pads
+    mask: jnp.ndarray,            # [B, N]
+    mesh: Mesh,
+    sigma: float = 1.0,
+    weighted: bool = True,
+    axis_name: str = "seq",
+) -> jnp.ndarray:
+    """Doc-axis-sharded LambdaRank/RankNet pairwise loss.
+
+    The n x n pair space (reference lambdarank.py:27-62 + ΔnDCG weights,
+    metric_utils.py:19-45) is computed blockwise: each device keeps its local
+    row block and rotates the column block around the ring, accumulating the
+    masked upper-triangle (global rank i < j) BCE sum. Only n/P-sized blocks
+    exist per device — the n x n matrix never does (SURVEY §5.7's "blockwise
+    ΔnDCG/BCE with running reductions across shards").
+    """
+    P_ = mesh.shape[axis_name]
+    perm = [(i, (i + 1) % P_) for i in range(P_)]
+
+    def per_device(s_l, l_l, g_l, m_l):
+        idx = jax.lax.axis_index(axis_name)
+        B, n_loc = s_l.shape
+        local_ranks = jnp.arange(n_loc)
+
+        def pair_block(si, li, gi, di, mi, ri, sj, lj, gj, dj, mj, rj):
+            # si/li/gi/mi: [B, n_loc] rows; di/ri: [n_loc] global discount/rank
+            diffs = sigma * (si[:, :, None] - sj[:, None, :])
+            targets = 0.5 * (1.0 + jnp.clip(li[:, :, None] - lj[:, None, :], -1.0, 1.0))
+            bce = jnp.logaddexp(0.0, diffs) - targets * diffs
+            if weighted:
+                w = (jnp.abs(gi[:, :, None] - gj[:, None, :])
+                     * jnp.abs(di[:, None] - dj[None, :])[None])
+            else:
+                w = 1.0
+            valid = (mi[:, :, None] & mj[:, None, :]
+                     & (ri[:, None] < rj[None, :])[None])
+            return jnp.sum(jnp.where(valid, w * bce, 0.0))
+
+        def step(carry, r):
+            s_c, l_c, g_c, m_c, acc = carry
+            src = (idx - r) % P_                       # block's home device
+            rank_i = idx * n_loc + local_ranks         # global ranks, rows
+            rank_j = src * n_loc + local_ranks         # global ranks, cols
+            d_i = 1.0 / jnp.log2(rank_i.astype(jnp.float32) + 2.0)
+            d_j = 1.0 / jnp.log2(rank_j.astype(jnp.float32) + 2.0)
+            acc = acc + pair_block(s_l, l_l, g_l, d_i, m_l, rank_i,
+                                   s_c, l_c, g_c, d_j, m_c, rank_j)
+            s_n = jax.lax.ppermute(s_c, axis_name, perm)
+            l_n = jax.lax.ppermute(l_c, axis_name, perm)
+            g_n = jax.lax.ppermute(g_c, axis_name, perm)
+            m_n = jax.lax.ppermute(m_c, axis_name, perm)
+            return (s_n, l_n, g_n, m_n, acc), None
+
+        init = (s_l, l_l, g_l, m_l, jnp.zeros((), jnp.float32))
+        acc = jax.lax.scan(step, init, jnp.arange(P_))[0][-1]
+        return jax.lax.psum(acc, axis_name)[None]
+
+    spec = P(None, axis_name)
+    out = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(spec, spec, spec, spec),
+        out_specs=P(axis_name), check_rep=False,
+    )(sorted_scores, sorted_labels, n_gains, mask)
+    return out[0]

@@ -161,3 +161,88 @@ def test_pipeline_encoder_matches_single_device():
                                      num_microbatches=4)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-5, err_msg=enc_type)
+
+
+def _attention_fixtures():
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    B, H, N, d = 2, 4, 32, 8
+    q = jnp.asarray(rng.randn(B, H, N, d), jnp.float32)
+    k = jnp.asarray(rng.randn(B, H, N, d), jnp.float32)
+    v = jnp.asarray(rng.randn(B, H, N, d), jnp.float32)
+    mask = jnp.ones((B, N), bool).at[0, 20:].set(False)
+    return q, k, v, mask
+
+
+def test_ring_attention_matches_single_device():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ptranking_tpu.parallel.mesh import MeshConfig, make_mesh
+    from ptranking_tpu.parallel.ring import reference_attention, ring_attention
+
+    mesh = make_mesh(MeshConfig(data=1, model=2, seq=4))
+    q, k, v, mask = _attention_fixtures()
+    ref = reference_attention(q, k, v, mask)
+    out = ring_attention(q, k, v, mask, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    # gradients flow through the ppermute ring
+    g1 = jax.grad(lambda x: jnp.sum(ring_attention(x, k, v, mask, mesh) ** 2))(q)
+    g2 = jax.grad(lambda x: jnp.sum(reference_attention(x, k, v, mask) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
+def test_ulysses_attention_matches_single_device():
+    import numpy as np
+
+    from ptranking_tpu.parallel.mesh import MeshConfig, make_mesh
+    from ptranking_tpu.parallel.ring import reference_attention, ulysses_attention
+
+    mesh = make_mesh(MeshConfig(data=1, model=2, seq=4))
+    q, k, v, mask = _attention_fixtures()
+    ref = reference_attention(q, k, v, mask)
+    out = ulysses_attention(q, k, v, mask, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_ring_lambda_loss_matches_dense():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ptranking_tpu.parallel.mesh import MeshConfig, make_mesh
+    from ptranking_tpu.parallel.ring import ring_lambda_loss
+
+    mesh = make_mesh(MeshConfig(data=1, model=2, seq=4))
+    B, N = 3, 32
+    rng = np.random.RandomState(0)
+    scores = jnp.asarray(-np.sort(-rng.randn(B, N), axis=1), jnp.float32)
+    labels = jnp.asarray(rng.randint(0, 4, (B, N)), jnp.float32)
+    mask = jnp.ones((B, N), bool).at[1, 25:].set(False)
+    labels = jnp.where(mask, labels, 0.0)
+    gains = jnp.power(2.0, labels) - 1.0
+    disc = 1.0 / jnp.log2(jnp.arange(N) + 2.0)
+    idcg = jnp.sum(jnp.where(mask, jnp.sort(gains, axis=1)[:, ::-1] * disc, 0.0),
+                   axis=1, keepdims=True)
+    n_gains = jnp.where(mask, gains / jnp.maximum(idcg, 1e-8), 0.0)
+
+    diffs = scores[:, :, None] - scores[:, None, :]
+    targets = 0.5 * (1.0 + jnp.clip(labels[:, :, None] - labels[:, None, :], -1, 1))
+    bce = jnp.logaddexp(0.0, diffs) - targets * diffs
+    w = (jnp.abs(n_gains[:, :, None] - n_gains[:, None, :])
+         * jnp.abs(disc[:, None] - disc[None, :]))
+    valid = (mask[:, :, None] & mask[:, None, :]
+             & jnp.triu(jnp.ones((N, N), bool), 1)[None])
+    dense = jnp.sum(jnp.where(valid, w * bce, 0.0))
+
+    ring = ring_lambda_loss(scores, labels, n_gains, mask, mesh)
+    np.testing.assert_allclose(float(ring), float(dense), rtol=1e-5)
+
+    gd = jax.grad(lambda s: jnp.sum(jnp.where(
+        valid, w * (jnp.logaddexp(0.0, s[:, :, None] - s[:, None, :])
+                    - targets * (s[:, :, None] - s[:, None, :])), 0.0)))(scores)
+    gr = jax.grad(lambda s: ring_lambda_loss(s, labels, n_gains, mask, mesh))(scores)
+    np.testing.assert_allclose(np.asarray(gr), np.asarray(gd), atol=1e-5)
