@@ -152,3 +152,128 @@ def test_approx_ndcg_parity():
         get_loss("ApproxNDCG")(jnp.asarray(preds), jnp.asarray(ideal_sorted), jnp.ones((1, 8), bool), alpha=10.0)
     )
     np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+
+def _copy_ffn(dst_layers, torch_seq):
+    tlin = [m for m in torch_seq if isinstance(m, torch.nn.Linear)]
+    assert len(tlin) == len(dst_layers)
+    for lp, tl in zip(dst_layers, tlin):
+        lp["linear"]["w"] = jnp.asarray(tl.weight.detach().numpy().T)
+        lp["linear"]["b"] = jnp.asarray(tl.bias.detach().numpy())
+    return [m for m in torch_seq if m.__class__.__name__ == "LTRBatchNorm"]
+
+
+def test_pointsf_forward_and_grad_parity_with_transplanted_weights():
+    """Copy the reference pointsf's torch weights into our pytree: forward and
+    RankMSE gradients must agree (eval mode; GELU approximation tolerance)."""
+    import jax
+
+    from ptranking.base.point_ranker import PointNeuralRanker
+
+    from ptranking_tpu.losses import get_loss
+    from ptranking_tpu.models import ScorerConfig, apply_scorer, init_scorer
+
+    class P(PointNeuralRanker):
+        def custom_loss_function(self, *a, **k):
+            pass
+
+    torch.manual_seed(0)
+    sf_para = {"sf_id": "pointsf", "opt": "Adam", "lr": 1e-4,
+               "pointsf": dict(num_features=12, h_dim=16, out_dim=1, num_layers=3,
+                               AF="GE", TL_AF="S", apply_tl_af=True, BN=True,
+                               bn_type="BN", bn_affine=True, dropout=0.1)}
+    r = P(sf_para_dict=sf_para)
+    r.init()
+    net = r.point_sf
+    net.eval()
+
+    cfg = ScorerConfig.default_pointsf(num_features=12, h_dim=16, num_layers=3)
+    params = init_scorer(jax.random.PRNGKey(0), cfg)
+    layers = params["point_sf"]["layers"]
+    tbn = _copy_ffn(layers, net)
+    for lp, tb in zip([l for l in layers if "bn" in l], tbn):
+        lp["bn"]["gamma"] = jnp.asarray(tb.bn.weight.detach().numpy())
+        lp["bn"]["beta"] = jnp.asarray(tb.bn.bias.detach().numpy())
+
+    rng = np.random.RandomState(1)
+    B, N = 3, 9
+    x = rng.randn(B, N, 12).astype(np.float32)
+    y = np.sort(rng.randint(0, 3, (B, N)).astype(np.float32))[:, ::-1].copy()
+    mask = jnp.ones((B, N), bool)
+
+    tscores = net(torch.tensor(x)).view(B, N)
+    ours = apply_scorer(params, cfg, jnp.asarray(x), mask, training=False)
+    np.testing.assert_allclose(np.asarray(ours), tscores.detach().numpy(),
+                               atol=6e-3)
+
+    loss_t = torch.mean(torch.sum(
+        torch.nn.functional.mse_loss(tscores, torch.tensor(y), reduction="none"),
+        dim=1))
+    loss_t.backward()
+    tlin0 = [m for m in net if isinstance(m, torch.nn.Linear)][0]
+    g_t = tlin0.weight.grad.detach().numpy().T
+
+    lf = get_loss("RankMSE")
+
+    def f(p):
+        s = apply_scorer(p, cfg, jnp.asarray(x), mask, training=False)
+        return lf(s, jnp.asarray(y), mask)
+
+    np.testing.assert_allclose(float(f(params)), float(loss_t.detach()), rtol=2e-3)
+    g_o = jax.grad(f)(params)["point_sf"]["layers"][0]["linear"]["w"]
+    np.testing.assert_allclose(np.asarray(g_o), g_t, atol=3e-2)
+
+
+def test_listsf_dasalc_forward_parity_with_transplanted_weights():
+    """Copy the reference DASALC listsf's torch weights (head/encoder/tail,
+    fused-QKV mapping) into our pytree: forwards must agree to ~1%."""
+    import jax
+
+    from ptranking.base.list_ranker import ListNeuralRanker
+
+    from ptranking_tpu.models import ScorerConfig, apply_scorer, init_scorer
+
+    class L(ListNeuralRanker):
+        def custom_loss_function(self, *a, **k):
+            pass
+
+    torch.manual_seed(0)
+    sf_para = {"sf_id": "listsf", "opt": "Adagrad", "lr": 1e-3,
+               "listsf": dict(num_features=12, ff_dims=[16, 24], out_dim=1,
+                              AF="R", TL_AF="GE", apply_tl_af=False, BN=False,
+                              bn_type="BN2", bn_affine=False, n_heads=2,
+                              encoder_layers=2, dropout=0.1,
+                              encoder_type="DASALC")}
+    r = L(sf_para_dict=sf_para)
+    r.init()
+    for m in r.list_sf.values():
+        m.eval()
+
+    cfg = ScorerConfig.default_listsf(num_features=12, ff_dims=(16, 24),
+                                      encoder_layers=2)
+    params = init_scorer(jax.random.PRNGKey(0), cfg)
+    _copy_ffn(params["head_ffnns"]["layers"], r.list_sf["head_ffnns"])
+    _copy_ffn(params["tail_ffnns"]["layers"], r.list_sf["tail_ffnns"])
+    for ours_l, ref_l in zip(params["encoder"]["layers"], r.list_sf["encoder"].layers):
+        mh = ref_l.mhsa
+        wq, wk, wv = (m.weight.detach().numpy().T for m in (mh.w_q, mh.w_k, mh.w_v))
+        bq, bk, bv = (m.bias.detach().numpy() for m in (mh.w_q, mh.w_k, mh.w_v))
+        ours_l["mhsa"]["qkv"]["w"] = jnp.asarray(np.concatenate([wq, wk, wv], axis=1))
+        ours_l["mhsa"]["qkv"]["b"] = jnp.asarray(np.concatenate([bq, bk, bv]))
+        ours_l["mhsa"]["fc"]["w"] = jnp.asarray(mh.fc.weight.detach().numpy().T)
+        ours_l["mhsa"]["fc"]["b"] = jnp.asarray(mh.fc.bias.detach().numpy())
+        names = dict(ref_l.sublayer_cont.norm.named_parameters())
+        akey = "a_2" if "a_2" in names else "weight"
+        bkey = "b_2" if "b_2" in names else "bias"
+        ours_l["ln"]["a"] = jnp.asarray(names[akey].detach().numpy())
+        ours_l["ln"]["b"] = jnp.asarray(names[bkey].detach().numpy())
+
+    rng = np.random.RandomState(1)
+    B, N = 3, 11
+    x = rng.randn(B, N, 12).astype(np.float32)
+    with torch.no_grad():
+        ref_scores = r.forward(torch.tensor(x)).numpy()
+    ours = np.asarray(apply_scorer(params, cfg, jnp.asarray(x),
+                                   jnp.ones((B, N), bool), training=False))
+    scale = max(float(np.abs(ref_scores).max()), 1e-3)
+    assert float(np.max(np.abs(ref_scores - ours))) / scale < 0.02
