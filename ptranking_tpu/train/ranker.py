@@ -116,9 +116,12 @@ class AdhocRanker:
         def eval_batch(params, features, labels, mask, ks):
             scores = apply_scorer(params, scorer_cfg, features, mask, training=False)
             out = evaluate_all_at_ks(scores, labels, mask, ks, label_type)
-            # per-batch SUMS (host divides by total query count at the end)
+            # per-batch SUMS (host divides by total query count at the end);
+            # count REAL queries only — all-padded remainder rows of a
+            # bucketed batch contribute zero metric but must not inflate the
+            # denominator (that silently deflated every reported metric)
             sums = {m: jnp.sum(out[m], axis=0) for m in ("nDCG", "nERR", "AP", "P")}
-            sums["count"] = jnp.asarray(out["nDCG"].shape[0], jnp.float32)
+            sums["count"] = jnp.sum(jnp.any(mask, axis=-1).astype(jnp.float32))
             return sums
 
         return eval_batch
