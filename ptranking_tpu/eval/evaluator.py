@@ -204,7 +204,8 @@ class LTREvaluator:
         model_id = model_para_dict["model_id"]
         fold_num = data_dict["fold_num"]
         dir_run = self.setup_output(data_dict, eval_dict)
-        cv_tape = CVTape(model_id, fold_num, eval_dict["cutoffs"], eval_dict["do_validation"])
+        cv_tape = CVTape(model_id, fold_num, eval_dict["cutoffs"], eval_dict["do_validation"],
+                         reproduce=True, dir_run=dir_run)
         for fold_k in range(1, fold_num + 1):
             ranker = self.load_ranker(sf_para, model_para_dict, data_dict["label_type"])
             ranker.init()

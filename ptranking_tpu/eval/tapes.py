@@ -71,22 +71,43 @@ class CVTape:
 
     METRICS = ("nDCG", "nERR", "AP", "P")
 
-    def __init__(self, model_id: str, fold_num: int, cutoffs: List[int], do_validation: bool):
+    def __init__(self, model_id: str, fold_num: int, cutoffs: List[int], do_validation: bool,
+                 reproduce: bool = False, dir_run: str = None):
         self.model_id = model_id
         self.fold_num = fold_num
         self.cutoffs = list(cutoffs)
         self.do_validation = do_validation
         self.per_fold: Dict[str, List[np.ndarray]] = {m: [] for m in self.METRICS}
+        self.reproduce = reproduce
+        self.dir_run = dir_run
+        self.per_query: Dict[str, List[np.ndarray]] = {m: [] for m in self.METRICS}
         self.t0 = time.time()
 
     def fold_evaluation(self, ranker, test_batches, fold_k: int):
-        out = ranker.evaluate(test_batches, ks=tuple(self.cutoffs))
+        if self.reproduce:
+            # per-query metric matrices, all folds concatenated (reference
+            # reproduce-mode pickles, parameter.py:814-831)
+            test_batches = list(test_batches)
+            pq = ranker.evaluate_per_query(test_batches, ks=tuple(self.cutoffs))
+            for m in self.METRICS:
+                self.per_query[m].append(pq[m])
+            out = {m: pq[m].mean(axis=0) for m in self.METRICS}
+        else:
+            out = ranker.evaluate(test_batches, ks=tuple(self.cutoffs))
         for m in self.METRICS:
             self.per_fold[m].append(np.asarray(out[m]))
         ndcg_str = ", ".join(f"nDCG@{k}:{v:.4f}" for k, v in zip(self.cutoffs, out["nDCG"]))
         print(f"\n Fold-{fold_k} {self.model_id} on test: {ndcg_str}")
 
     def get_cv_performance(self) -> Dict[str, np.ndarray]:
+        if self.reproduce and self.dir_run:
+            names = {"P": "p", "AP": "ap", "nERR": "nerr", "nDCG": "ndcg"}
+            for m, short in names.items():
+                mat = np.concatenate(self.per_query[m], axis=0)
+                path = os.path.join(
+                    self.dir_run, f"{self.model_id}_all_fold_{short}_at_ks_per_q.np")
+                with open(path, "wb") as f:
+                    pickle.dump(mat, f, protocol=pickle.HIGHEST_PROTOCOL)
         elapsed = time.time() - self.t0
         means = {m: np.mean(np.stack(v), axis=0) for m, v in self.per_fold.items()}
         print(f"\n{self.model_id} {self.fold_num}-fold CV ({elapsed:.1f}s):")

@@ -181,6 +181,23 @@ class AdhocRanker:
         """Validation scalar (reference validation, base/ranker.py:189-200)."""
         return float(self.evaluate(batches, ks=(k,))[metric][0])
 
+    def evaluate_per_query(self, batches: Iterable[RankingBatch],
+                           ks=(1, 3, 5, 10, 20, 50)) -> Dict[str, np.ndarray]:
+        """Per-query metric matrices [num_queries, len(ks)] for real queries
+        (reference reproduce-mode per-query pickles, parameter.py:814-831)."""
+        from ptranking_tpu.metrics.adhoc import evaluate_all_at_ks
+
+        ks = tuple(ks)
+        rows: Dict[str, list] = {m: [] for m in ("nDCG", "nERR", "AP", "P")}
+        for batch in batches:
+            scores = self._compiled_predict(self.params, batch.features, batch.mask)
+            out = evaluate_all_at_ks(scores, batch.labels, batch.mask, ks, self.label_type)
+            real = np.asarray(batch.mask).any(axis=-1)
+            for m in rows:
+                rows[m].append(np.asarray(out[m])[real])
+        return {m: (np.concatenate(v) if v else np.zeros((0, len(ks))))
+                for m, v in rows.items()}
+
     # ----------------------------------------------------------------- io
 
     def checkpoint(self) -> Dict[str, Any]:

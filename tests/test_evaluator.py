@@ -103,3 +103,24 @@ def test_cli_main(tmp_path):
     perf = main(["-model", "RankMSE", "-debug", "-data", "SyntheticMQ",
                  "-dir_output", str(tmp_path)])
     assert perf["nDCG"].shape == (6,)
+
+
+def test_reproduce_writes_per_query_pickles(tmp_path):
+    """Reproduce mode emits per-query metric matrices, one file per metric
+    (reference parameter.py:814-831)."""
+    import glob
+    import pickle
+
+    from ptranking_tpu.eval.evaluator import LTREvaluator
+
+    ev = LTREvaluator()
+    ev.run(debug=True, model_id="RankMSE", sf_id="pointsf", data_id="SyntheticMQ",
+           dir_output=str(tmp_path), grid_search=False)
+    ev.run(debug=True, model_id="RankMSE", sf_id="pointsf", data_id="SyntheticMQ",
+           dir_output=str(tmp_path), grid_search=False, reproduce=True)
+    files = glob.glob(str(tmp_path) + "/**/RankMSE_all_fold_*_at_ks_per_q.np",
+                      recursive=True)
+    assert len(files) == 4, files
+    with open(files[0], "rb") as f:
+        mat = pickle.load(f)
+    assert mat.ndim == 2 and mat.shape[0] > 0 and mat.shape[1] == 6
