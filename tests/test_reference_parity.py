@@ -277,3 +277,113 @@ def test_listsf_dasalc_forward_parity_with_transplanted_weights():
                                    jnp.ones((B, N), bool), training=False))
     scale = max(float(np.abs(ref_scores).max()), 1e-3)
     assert float(np.max(np.abs(ref_scores - ours))) / scale < 0.02
+
+
+def test_lambdaloss_ndcg_loss2_parity():
+    """Reference LambdaLoss NDCG_Loss2 (lambdaloss.py:73-132) rebuilt from its
+    own power-weight helper, vs our lambda_loss with a full mask."""
+    from ptranking.ltr_adhoc.listwise.lambdaloss import ndcg_loss2_power_weights
+    from ptranking.metric.adhoc.adhoc_metric import torch_dcg_at_k
+
+    from ptranking_tpu.losses import get_loss
+
+    preds, labels = rand_batch(B=3, N=8)
+    ideal_sorted = ideal(labels)  # presort=True: labels ideally ordered
+    t_preds = torch.from_numpy(preds)
+    t_ideal = torch.from_numpy(ideal_sorted)
+    k, sigma, eps = 5, 1.0, 1e-8
+
+    desc_preds, desc_inds = torch.sort(t_preds, dim=1, descending=True)
+    pred_rankings = torch.gather(t_ideal, dim=1, index=desc_inds)
+    dists = 1.0 / torch.log2(torch.arange(8, dtype=torch.float) + 2.0)
+    idcgs = torch_dcg_at_k(batch_rankings=t_ideal, device="cpu")
+    n_gains = (torch.pow(2.0, pred_rankings) - 1.0) / idcgs
+    power_w = ndcg_loss2_power_weights(batch_n_gains=n_gains, discounts=dists)
+    diffs = (desc_preds.unsqueeze(2) - desc_preds.unsqueeze(1)).clamp(-1e8, 1e8)
+    probas = (torch.sigmoid(sigma * diffs).clamp(min=eps) ** power_w).clamp(min=eps)
+    logp = torch.log2(probas)
+    trunc = torch.zeros((8, 8), dtype=torch.bool)
+    trunc[:k, :k] = 1
+    std_diffs = pred_rankings.unsqueeze(2) - pred_rankings.unsqueeze(1)
+    ref = -torch.sum(logp[(std_diffs > 0) & trunc]).item()
+
+    ours = float(get_loss("LambdaLoss")(
+        jnp.asarray(preds), jnp.asarray(ideal_sorted), jnp.ones((3, 8), bool),
+        loss_type="NDCG_Loss2", k=k, sigma=sigma))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+
+def test_softrank_parity():
+    """Reference SoftRank expected-nDCG loss (softrank.py:33-77) rebuilt
+    inline, vs our soft_rank with a full mask."""
+    from ptranking.metric.adhoc.adhoc_metric import torch_dcg_at_k
+
+    from ptranking_tpu.losses import get_loss
+
+    preds, labels = rand_batch(B=3, N=8)
+    ideal_sorted = ideal(labels)
+    t_preds = torch.from_numpy(preds)
+    t_labels = torch.from_numpy(ideal_sorted)
+    delta = 1.0
+
+    pairsub_mus = t_preds.unsqueeze(2) - t_preds.unsqueeze(1)
+    pairsub_vars = 2 * delta ** 2
+    phi0 = 0.5 * torch.erfc(pairsub_mus / np.sqrt(2 * pairsub_vars))
+    phi0_subdiag = torch.triu(phi0, diagonal=1) + torch.tril(phi0, diagonal=-1)
+    expt_ranks = torch.sum(phi0_subdiag, dim=2) + 1.0
+    gains = torch.pow(2.0, t_labels) - 1.0
+    dists = 1.0 / torch.log2(expt_ranks + 1.0)
+    idcgs = torch_dcg_at_k(batch_rankings=t_labels, device="cpu")
+    ref = float(-torch.sum(torch.sum(dists * gains / idcgs, dim=1)))
+
+    ours = float(get_loss("SoftRank")(
+        jnp.asarray(preds), jnp.asarray(ideal_sorted), jnp.ones((3, 8), bool),
+        delta=delta, top_k=None))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+
+def test_rank_cosine_parity():
+    from ptranking_tpu.losses import get_loss
+
+    preds, labels = rand_batch(B=4, N=9)
+    cos = torch.nn.functional.cosine_similarity(
+        torch.from_numpy(preds), torch.from_numpy(labels), dim=1)
+    ref = float(torch.sum((1.0 - cos) / 0.5))
+    ours = float(get_loss("RankCosine")(
+        jnp.asarray(preds), jnp.asarray(labels), jnp.ones((4, 9), bool)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+
+def test_wassrank_cost_matrices_parity():
+    """Our WassRank cost matrices vs reference wasserstein_cost_mat.py on
+    identical labels."""
+    from ptranking.ltr_adhoc.listwise.wassrank.wasserstein_cost_mat import (
+        get_delta_gains,
+        torch_cost_mat_dist,
+        torch_cost_mat_group,
+    )
+
+    from ptranking_tpu.losses.wassrank import (
+        cost_mat_delta_gains,
+        cost_mat_group,
+        cost_mat_positions,
+    )
+
+    _, labels = rand_batch(B=2, N=7)
+    t = torch.from_numpy(labels)
+    mask = jnp.ones((2, 7), bool)
+
+    ref = torch_cost_mat_dist(t, exponent=2.0).numpy()
+    ours = np.asarray(cost_mat_positions(jnp.asarray(labels), mask, exponent=2.0))
+    np.testing.assert_allclose(ours, np.broadcast_to(ref, ours.shape), rtol=1e-5)
+
+    ref = get_delta_gains(t, discount=True).numpy()
+    ours = np.asarray(cost_mat_delta_gains(jnp.asarray(labels), mask, discount=True))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+    ref = torch_cost_mat_group(t, non_rele_gap=10.0, var_penalty=0.01,
+                               gain_base=2.0).numpy()
+    ours = np.asarray(cost_mat_group(jnp.asarray(labels), mask,
+                                     non_rele_gap=10.0, var_penalty=0.01,
+                                     gain_base=2.0))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)
