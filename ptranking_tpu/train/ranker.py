@@ -35,6 +35,22 @@ from ptranking_tpu.train.optimizer import OptimizerConfig, epoch_lr, make_optimi
 from ptranking_tpu.types import LabelType, RankingBatch
 
 
+# Compiled-function cache across ranker instances: grid search and k-fold CV
+# rebuild rankers with identical configs per fold/grid point (reference
+# ltr.py:318 ranker.init per fold); without this every rebuild re-traced the
+# step (~4s each), multiplying across the grid (SURVEY §7.3). Keyed by every
+# input that shapes the traced computation.
+_COMPILED_CACHE: Dict[Any, Tuple[Any, Any, Any, Any]] = {}
+
+
+def _freeze(v):
+    if isinstance(v, dict):
+        return tuple(sorted((k, _freeze(x)) for k, x in v.items()))
+    if isinstance(v, (list, tuple)):
+        return tuple(_freeze(x) for x in v)
+    return v
+
+
 class AdhocRanker:
     """A (scorer config, loss fn, optimizer) triple with a compiled step cache."""
 
@@ -72,11 +88,17 @@ class AdhocRanker:
         self._key = jax.random.PRNGKey(self.seed)
         self._key, sub = jax.random.split(self._key)
         self.params = init_scorer(sub, self.scorer_cfg)
-        self._optimizer = make_optimizer(self.opt_cfg)
+        key = (self.model_id, self.scorer_cfg, _freeze(self.model_paras),
+               self.opt_cfg, self.label_type)
+        cached = _COMPILED_CACHE.get(key)
+        if cached is None:
+            self._optimizer = make_optimizer(self.opt_cfg)
+            cached = (self._optimizer, self._build_step(),
+                      self._build_predict(), self._build_eval())
+            _COMPILED_CACHE[key] = cached
+        (self._optimizer, self._compiled_step,
+         self._compiled_predict, self._compiled_eval) = cached
         self.opt_state = self._optimizer.init(self.params)
-        self._compiled_step = self._build_step()
-        self._compiled_predict = self._build_predict()
-        self._compiled_eval = self._build_eval()
         return self
 
     def _build_step(self):
