@@ -76,8 +76,11 @@ def parse_letor_lines(lines, has_targets=True, one_indexed=True, missing=0.0,
             max_fid = max(max_fid, fid + 1)
         feats.append(row)
         if has_comment:
-            # docid = first token of the comment (reference _parse_docid)
-            docids.append(comment.split()[0] if comment.split() else "")
+            # reference _parse_docid (data_utils.py:270): 'docid = X' -> X,
+            # i.e. the comment's third token; shorter comments fall back to
+            # the first token
+            ctoks = comment.split()
+            docids.append(ctoks[2] if len(ctoks) >= 3 else (ctoks[0] if ctoks else ""))
 
     mat = np.full((len(feats), max_fid), missing, dtype=np.float32)
     for i, row in enumerate(feats):
@@ -172,8 +175,15 @@ def load_letor_file(
     if cache and os.path.exists(cache):
         return _load_packed(cache)
 
-    with open(path, encoding="iso-8859-1") as f:
-        parsed = parse_letor_lines(f, has_comment=has_comment, one_indexed=one_indexed)
+    # hot path: the C++ parser (native/letor_parser.cpp) when available;
+    # the pure-Python parser below is the always-available oracle/fallback
+    from ptranking_tpu.data.native_parser import parse_letor_file_native
+
+    parsed = parse_letor_file_native(path, one_indexed=one_indexed,
+                                     has_comment=has_comment)
+    if parsed is None:
+        with open(path, encoding="iso-8859-1") as f:
+            parsed = parse_letor_lines(f, has_comment=has_comment, one_indexed=one_indexed)
     mat, labels, qids = parsed[0], parsed[1], parsed[2]
     queries = group_and_clip(mat, labels, qids, data_id=data_id, **kwargs)
     if cache:

@@ -199,3 +199,78 @@ def test_percent_sampling():
     e1 = {int(q) for b in ds.batches(percent=0.5, epoch=1) for q in np.asarray(b.qids) if q >= 0}
     e2 = {int(q) for b in ds.batches(percent=0.5, epoch=2) for q in np.asarray(b.qids) if q >= 0}
     assert e1 != e2
+
+
+# --- native C++ LETOR parser (native/letor_parser.cpp) ------------------------
+
+
+def _write_letor(path, n_queries=5, F=8, comments=False, zero_indexed=False, seed=0):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    off = 0 if zero_indexed else 1
+    with open(path, "w") as f:
+        for q in range(n_queries):
+            for d in range(rng.randint(3, 8)):
+                label = rng.randint(0, 3)
+                feats = rng.randn(F)
+                # sparse rows: drop some features to exercise defaults
+                toks = " ".join(f"{i+off}:{v:.6f}" for i, v in enumerate(feats)
+                                if rng.rand() > 0.2)
+                tail = f" #docid = q{q}-d{d} inc = 1 prob = 0.5" if comments else ""
+                f.write(f"{label} qid:q{q} {toks}{tail}\n")
+
+
+def test_native_parser_matches_python(tmp_path):
+    import numpy as np
+    import pytest
+
+    from ptranking_tpu.data.letor import parse_letor_lines
+    from ptranking_tpu.data.native_parser import (
+        native_parser_available,
+        parse_letor_file_native,
+    )
+
+    if not native_parser_available():
+        pytest.skip("no C++ toolchain")
+    for comments in (False, True):
+        for zero_indexed in (False, True):
+            p = str(tmp_path / f"f_{comments}_{zero_indexed}.txt")
+            _write_letor(p, comments=comments, zero_indexed=zero_indexed,
+                         seed=int(comments) * 2 + int(zero_indexed))
+            with open(p, encoding="iso-8859-1") as f:
+                py = parse_letor_lines(f, has_comment=comments,
+                                       one_indexed=not zero_indexed)
+            nat = parse_letor_file_native(p, one_indexed=not zero_indexed,
+                                          has_comment=comments)
+            np.testing.assert_array_equal(py[0], nat[0])
+            np.testing.assert_array_equal(py[1], nat[1])
+            assert py[2] == nat[2]
+            if comments:
+                assert py[3] == nat[3]
+                assert nat[3][0].startswith("q0-d")  # 'docid = X' -> X
+
+
+def test_load_letor_file_same_queries_native_or_python(tmp_path, monkeypatch):
+    import numpy as np
+
+    from ptranking_tpu.data import letor as letor_mod
+
+    p = str(tmp_path / "train.txt")
+    _write_letor(p, n_queries=6, comments=False, seed=3)
+    native = letor_mod.load_letor_file(p, data_id="LETOR", min_docs=1,
+                                       min_rele=0, presort=True)
+    # force the python path and a fresh cache
+    import ptranking_tpu.data.native_parser as np_mod
+
+    monkeypatch.setattr(np_mod, "parse_letor_file_native", lambda *a, **k: None)
+    p2 = str(tmp_path / "train2.txt")
+    import shutil as _sh
+
+    _sh.copy(p, p2)
+    python = letor_mod.load_letor_file(p2, data_id="LETOR", min_docs=1,
+                                       min_rele=0, presort=True)
+    assert len(native) == len(python)
+    for a, b in zip(native, python):
+        assert a[0] == b[0]
+        np.testing.assert_allclose(np.sort(a[2]), np.sort(b[2]))
