@@ -51,6 +51,9 @@ class ScorerConfig:
     # compute (master params, norm statistics, attention logits and the loss
     # stay fp32)
     compute_dtype: str = "float32"
+    # rematerialize encoder layers in the backward pass (jax.checkpoint):
+    # trades FLOPs for HBM so very long candidate lists fit on-chip
+    remat: bool = False
 
     @property
     def bn_per_query(self) -> bool:
@@ -149,6 +152,7 @@ def apply_scorer(
             return _listsf.encoder_apply(
                 params["encoder"], v, mask, cfg.n_heads, cfg.encoder_type,
                 drop_rate=cfg.dropout, training=training, key=k_enc,
+                remat=cfg.remat,
             )
 
         # Variant wiring mirrors reference ListNeuralRanker.forward

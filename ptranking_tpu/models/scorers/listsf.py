@@ -136,6 +136,7 @@ def encoder_apply(
     drop_rate: float = 0.1,
     training: bool = False,
     key: Optional[jax.Array] = None,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Encoder wiring per variant (reference Encoder/EncoderLayer/
     SublayerConnection, list_ranker.py:53-149):
@@ -150,22 +151,30 @@ def encoder_apply(
     def k(i):
         return keys[i] if keys is not None else None
 
-    for li, layer in enumerate(p["layers"]):
+    def one_layer(layer, x, k0, k1, k2):
         if encoder_type == "AllRank":
             h = layer_norm_apply(layer["ln1"], x)
-            h = mhsa_apply(layer["mhsa"], h, mask, n_heads, drop_rate, training, k(3 * li))
-            x = x + dropout(k(3 * li + 1), h, drop_rate, training)
+            h = mhsa_apply(layer["mhsa"], h, mask, n_heads, drop_rate, training, k0)
+            x = x + dropout(k1, h, drop_rate, training)
             h = layer_norm_apply(layer["ln2"], x)
-            h = pff_apply(layer["fc"], h, drop_rate, training, k(3 * li + 2))
-            x = x + dropout(k(3 * li + 1), h, drop_rate, training)
+            h = pff_apply(layer["fc"], h, drop_rate, training, k2)
+            x = x + dropout(k1, h, drop_rate, training)
         elif encoder_type == "DASALC":
-            h = mhsa_apply(layer["mhsa"], x, mask, n_heads, drop_rate, training, k(3 * li))
+            h = mhsa_apply(layer["mhsa"], x, mask, n_heads, drop_rate, training, k0)
             x = layer_norm_apply(layer["ln"], h)
         elif encoder_type == "AttnDIN":
-            h = mhsa_apply(layer["mhsa"], x, mask, n_heads, drop_rate, training, k(3 * li))
+            h = mhsa_apply(layer["mhsa"], x, mask, n_heads, drop_rate, training, k0)
             x = layer_norm_apply(layer["ln"], x + h)
         else:
             raise NotImplementedError(encoder_type)
+        return x
+
+    # remat: recompute each layer's activations in the backward pass instead
+    # of keeping the [B, H, N, N] attention intermediates alive across the
+    # whole stack — trades FLOPs for HBM so very long lists fit on-chip
+    apply_one = jax.checkpoint(one_layer) if remat else one_layer
+    for li, layer in enumerate(p["layers"]):
+        x = apply_one(layer, x, k(3 * li), k(3 * li + 1), k(3 * li + 2))
     if encoder_type == "AllRank":
         x = layer_norm_apply(p["final_ln"], x)
     return x

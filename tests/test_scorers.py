@@ -150,3 +150,29 @@ def test_bfloat16_compute_matches_fp32_closely():
         denom = jnp.maximum(jnp.max(jnp.abs(jnp.where(mask, s32, 0.0))), 1e-3)
         rel = jnp.max(jnp.abs(jnp.where(mask, s32 - s16, 0.0))) / denom
         assert float(rel) < 0.15, (sf, float(rel))
+
+
+def test_remat_grads_identical():
+    """remat=True recomputes activations but must produce identical grads."""
+    import jax
+    import jax.numpy as jnp
+
+    from ptranking_tpu.losses import get_loss
+    from ptranking_tpu.models import ScorerConfig, apply_scorer, init_scorer
+
+    B, N, F = 4, 16, 12
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, N, F))
+    y = jax.random.randint(jax.random.PRNGKey(1), (B, N), 0, 3).astype(jnp.float32)
+    m = jnp.ones((B, N), bool).at[0, 10:].set(False)
+    lf = get_loss("LambdaRank")
+    cfg_a = ScorerConfig.default_listsf(num_features=F, encoder_layers=2)
+    cfg_b = ScorerConfig.default_listsf(num_features=F, encoder_layers=2, remat=True)
+    params = init_scorer(jax.random.PRNGKey(2), cfg_a)
+
+    def g(cfg):
+        return jax.grad(lambda p: lf(apply_scorer(
+            p, cfg, x, m, training=True, key=jax.random.PRNGKey(3)), y, m))(params)
+
+    ga, gb = g(cfg_a), g(cfg_b)
+    for a, b in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
+        assert bool(jnp.all(a == b))
