@@ -15,6 +15,7 @@ from ptranking_tpu.parallel.mesh import (
     replicated,
     scorer_param_sharding,
 )
+from ptranking_tpu.parallel.mesh import make_hybrid_mesh
 from ptranking_tpu.parallel.ring import (
     reference_attention,
     ring_attention,
@@ -29,6 +30,7 @@ from ptranking_tpu.parallel.pipeline import (
 from ptranking_tpu.parallel.train import DistributedTrainer
 
 __all__ = [
+    "make_hybrid_mesh",
     "reference_attention",
     "ring_attention",
     "ring_lambda_loss",

@@ -246,3 +246,10 @@ def test_ring_lambda_loss_matches_dense():
                     - targets * (s[:, :, None] - s[:, None, :])), 0.0)))(scores)
     gr = jax.grad(lambda s: ring_lambda_loss(s, labels, n_gains, mask, mesh))(scores)
     np.testing.assert_allclose(np.asarray(gr), np.asarray(gd), atol=1e-5)
+
+
+def test_make_hybrid_mesh_single_process():
+    from ptranking_tpu.parallel import MeshConfig, make_hybrid_mesh
+
+    m = make_hybrid_mesh(MeshConfig(data=4, model=2, seq=1))
+    assert dict(m.shape) == {"dcn": 1, "data": 4, "model": 2, "seq": 1}
