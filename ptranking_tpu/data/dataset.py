@@ -85,12 +85,6 @@ class BucketedDataset:
                 mask[i, :n] = True
             self._packed[b] = (feats, labels, mask, qids)
         self._qid_strs = {b: [it[0] for it in items] for b, items in self._by_bucket.items()}
-        # mean REAL list length per bucket: batch sizing must count real docs,
-        # not padded slots, to match the reference's rough_batch_size semantics
-        self._mean_len = {
-            b: (sum(len(it[2]) for it in items) / len(items)) if items else b
-            for b, items in self._by_bucket.items()
-        }
 
     def batch_size_for(self, bucket: int) -> int:
         # one fixed batch size per bucket = one compiled shape per bucket.

@@ -36,8 +36,9 @@ def prefetch_to_device(batches: Iterable[RankingBatch], size: int = 2,
     `size` staged batches in a bounded queue. Exceptions in the producer are
     re-raised at the consumer."""
     q: "queue.Queue" = queue.Queue(maxsize=size)
+    abandoned = threading.Event()  # consumer dropped the generator early
 
-    def put(b: RankingBatch) -> RankingBatch:
+    def stage(b: RankingBatch) -> RankingBatch:
         return RankingBatch(
             features=jax.device_put(b.features, sharding),
             labels=jax.device_put(b.labels, sharding),
@@ -45,24 +46,39 @@ def prefetch_to_device(batches: Iterable[RankingBatch], size: int = 2,
             qids=b.qids,
         )
 
+    def put_or_bail(item) -> bool:
+        # bounded put that gives up when the consumer is gone, so the daemon
+        # thread (and its device-resident staged batches) cannot leak
+        while not abandoned.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def producer():
         try:
             for b in batches:
-                q.put(put(b))
+                if not put_or_bail(stage(b)):
+                    return
         except BaseException as exc:  # surface in the consumer thread
-            q.put(exc)
+            put_or_bail(exc)
             return
-        q.put(_STOP)
+        put_or_bail(_STOP)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _STOP:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _STOP:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        abandoned.set()  # reached on GeneratorExit / early break too
 
 
 def shard_for_process(items: Sequence[T], process_index: Optional[int] = None,

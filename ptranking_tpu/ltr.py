@@ -12,12 +12,10 @@ from __future__ import annotations
 
 import argparse
 
+from ptranking_tpu.adversarial.evaluator import LTR_ADVERSARIAL_MODELS
+from ptranking_tpu.diversification.ranker import DIV_MODELS as LTR_DIV_MODELS
 from ptranking_tpu.eval import LTR_ADHOC_MODELS, LTREvaluator
-
-LTR_ADVERSARIAL_MODELS = ["IRGAN_Point", "IRGAN_Pair", "IRGAN_List",
-                          "IRFGAN_Point", "IRFGAN_Pair", "IRFGAN_List"]
-LTR_TREE_MODELS = ["LightGBMLambdaMART", "TPUGBDTLambdaMART"]
-LTR_DIV_MODELS = ["DALETOR", "DivProbRanker"]
+from ptranking_tpu.tree.evaluator import LTR_TREE_MODELS
 ALL_MODELS = (list(LTR_ADHOC_MODELS) + LTR_ADVERSARIAL_MODELS
               + LTR_TREE_MODELS + LTR_DIV_MODELS)
 

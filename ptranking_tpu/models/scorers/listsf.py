@@ -146,19 +146,19 @@ def encoder_apply(
       AttnDIN: LN(x + MHSA(x))
     """
     n_layers = len(p["layers"])
-    keys = jax.random.split(key, 3 * n_layers) if (training and key is not None) else None
+    keys = jax.random.split(key, 4 * n_layers) if (training and key is not None) else None
 
     def k(i):
         return keys[i] if keys is not None else None
 
-    def one_layer(layer, x, k0, k1, k2):
+    def one_layer(layer, x, k0, k1, k2, k3):
         if encoder_type == "AllRank":
             h = layer_norm_apply(layer["ln1"], x)
             h = mhsa_apply(layer["mhsa"], h, mask, n_heads, drop_rate, training, k0)
             x = x + dropout(k1, h, drop_rate, training)
             h = layer_norm_apply(layer["ln2"], x)
             h = pff_apply(layer["fc"], h, drop_rate, training, k2)
-            x = x + dropout(k1, h, drop_rate, training)
+            x = x + dropout(k3, h, drop_rate, training)  # independent of k1
         elif encoder_type == "DASALC":
             h = mhsa_apply(layer["mhsa"], x, mask, n_heads, drop_rate, training, k0)
             x = layer_norm_apply(layer["ln"], h)
@@ -174,7 +174,9 @@ def encoder_apply(
     # whole stack — trades FLOPs for HBM so very long lists fit on-chip
     apply_one = jax.checkpoint(one_layer) if remat else one_layer
     for li, layer in enumerate(p["layers"]):
-        x = apply_one(layer, x, k(3 * li), k(3 * li + 1), k(3 * li + 2))
-    if encoder_type == "AllRank":
+        x = apply_one(layer, x, k(4 * li), k(4 * li + 1), k(4 * li + 2), k(4 * li + 3))
+    # guarded so partial-stack callers (the GPipe pipeline feeds one layer at
+    # a time) can apply the final LN themselves, once
+    if encoder_type == "AllRank" and "final_ln" in p:
         x = layer_norm_apply(p["final_ln"], x)
     return x

@@ -71,10 +71,12 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def batch_sharding(mesh: Mesh, shard_docs: bool = False) -> NamedSharding:
-    """Batch arrays: queries over `data`, optionally docs over `seq` (CP)."""
+    """Batch arrays: queries over `data` (and `dcn` when the mesh has the
+    cross-host axis — DP spans hosts), optionally docs over `seq` (CP)."""
+    batch_axes = ("dcn", "data") if "dcn" in mesh.axis_names else "data"
     if shard_docs:
-        return NamedSharding(mesh, P("data", "seq"))
-    return NamedSharding(mesh, P("data"))
+        return NamedSharding(mesh, P(batch_axes, "seq"))
+    return NamedSharding(mesh, P(batch_axes))
 
 
 # --------------------------------------------------------------------- TP

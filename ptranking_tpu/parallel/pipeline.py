@@ -138,4 +138,9 @@ def pipeline_encoder_apply(
     xm = jnp.concatenate([xs, ms[..., None].astype(xs.dtype)], axis=-1)
     out = gpipe(stage_fn, staged, xm, mesh, axis_name)
     out = out[..., :-1]
-    return out.reshape((B,) + out.shape[2:])
+    out = out.reshape((B,) + out.shape[2:])
+    if encoder_type == "AllRank":  # final LN applied ONCE, outside the stages
+        from ptranking_tpu.models.scorers.nn import layer_norm_apply
+
+        out = layer_norm_apply(encoder_params["final_ln"], out)
+    return out

@@ -145,7 +145,7 @@ class DistributedTrainer:
         self.params, self.opt_state, loss = self._step(self.params, self.opt_state, sub, f, l, m)
         return float(loss)
 
-    def train_epoch(self, batches, epoch_k: int = 1, stop_check_freq: int = 10):
+    def train_epoch(self, batches, epoch_k: int = 1):
         from ptranking_tpu.train.optimizer import epoch_lr, set_lr
 
         self.opt_state = set_lr(self.opt_state, epoch_lr(self.opt_cfg, epoch_k))
@@ -157,9 +157,9 @@ class DistributedTrainer:
                 self.params, self.opt_state, sub, f, l, m)
             losses.append(loss)  # device-side; one sync at epoch end
         total = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
-        # NaN guard, reference stop_training parity (base/ranker.py:547-561):
-        # one cheap device->host boolean every stop_check_freq epochs
-        if epoch_k % stop_check_freq == 0 and not np.isfinite(total):
+        # NaN guard, reference stop_training parity (base/ranker.py:547-561).
+        # `total` is already fetched to host every epoch, so the check is free
+        if not np.isfinite(total):
             return float("nan"), True
         return total / max(len(losses), 1), False
 

@@ -79,8 +79,8 @@ class TreeLTREvaluator:
             if model_id == "TPUGBDTLambdaMART":
                 from ptranking_tpu.tree.jax_gbdt import GBDTConfig, TPUGBDTRanker
 
-                cfg = GBDTConfig(early_stopping_rounds=early_stop_rounds,
-                                 **(para_dict or {}))
+                cfg = GBDTConfig.from_paras(para_dict,
+                                            early_stopping_rounds=early_stop_rounds)
                 if debug:
                     cfg.num_trees = min(cfg.num_trees, 50)
                 model = TPUGBDTRanker(cfg)

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import functools
 import pickle
+import dataclasses
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -190,6 +191,25 @@ class GBDTConfig:
     objective: str = "lambdarank_newton"  # key into CUSTOM_OBJECTIVES
     early_stopping_rounds: int = 200
     vali_k: int = 5
+
+    @classmethod
+    def from_paras(cls, paras: Optional[dict], **overrides) -> "GBDTConfig":
+        """Accept either GBDTConfig fields or LightGBM-style keys (so the
+        LightGBM->native fallback can consume the caller's para_dict):
+        num_leaves -> max_depth=ceil(log2(.)), learning_rate/num_trees pass
+        through; unknown keys are ignored with a notice."""
+        import math
+
+        paras = dict(paras or {})
+        if "num_leaves" in paras and "max_depth" not in paras:
+            paras["max_depth"] = max(2, math.ceil(math.log2(max(paras.pop("num_leaves"), 2))))
+        known = {f.name for f in dataclasses.fields(cls)}
+        dropped = sorted(set(paras) - known)
+        if dropped:
+            print(f" [gbdt] ignoring non-native parameters: {dropped}")
+        kept = {k: v for k, v in paras.items() if k in known}
+        kept.update(overrides)
+        return cls(**kept)
 
 
 @dataclass

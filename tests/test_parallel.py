@@ -253,3 +253,56 @@ def test_make_hybrid_mesh_single_process():
 
     m = make_hybrid_mesh(MeshConfig(data=4, model=2, seq=1))
     assert dict(m.shape) == {"dcn": 1, "data": 4, "model": 2, "seq": 1}
+
+
+def test_pipeline_encoder_allrank():
+    """AllRank wiring through the pipeline: per-layer stages must not apply
+    the final LN; it is applied once after the pipeline (review regression)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ptranking_tpu.models.scorers import listsf as _listsf
+    from ptranking_tpu.parallel.mesh import MeshConfig, make_mesh
+    from ptranking_tpu.parallel.pipeline import pipeline_encoder_apply
+
+    mesh = make_mesh(MeshConfig(data=2, model=4, seq=1))
+    F, B, N = 8, 8, 16
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, N, F), jnp.float32)
+    mask = jnp.ones((B, N), bool).at[1, 10:].set(False)
+    enc = _listsf.encoder_init(jax.random.PRNGKey(0), F, 4, "AllRank")
+    ref = _listsf.encoder_apply(enc, x, mask, 2, "AllRank", drop_rate=0.0,
+                                training=False)
+    out = pipeline_encoder_apply(enc, x, mask, 2, "AllRank", mesh,
+                                 num_microbatches=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_prefetch_abandonment_does_not_leak_threads():
+    import threading
+    import time
+
+    from ptranking_tpu.data import prefetch_to_device
+    from ptranking_tpu.data.dataset import BucketedDataset, make_synthetic_queries
+
+    qs = make_synthetic_queries(num_queries=40, num_features=8, seed=0)
+    ds = BucketedDataset(qs, batch_docs=128)
+    before = threading.active_count()
+    for _ in range(5):
+        gen = prefetch_to_device(ds.batches())
+        next(gen)
+        gen.close()
+    time.sleep(1.0)
+    assert threading.active_count() <= before + 1
+
+
+def test_gbdt_config_from_lightgbm_paras():
+    from ptranking_tpu.tree.jax_gbdt import GBDTConfig
+
+    cfg = GBDTConfig.from_paras({"num_leaves": 400, "verbosity": -1,
+                                 "learning_rate": 0.1},
+                                early_stopping_rounds=50)
+    assert cfg.max_depth == 9  # ceil(log2(400))
+    assert cfg.learning_rate == 0.1
+    assert cfg.early_stopping_rounds == 50
