@@ -387,3 +387,38 @@ def test_wassrank_cost_matrices_parity():
                                      non_rele_gap=10.0, var_penalty=0.01,
                                      gain_base=2.0))
     np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+def test_sinkhorn_ot_parity():
+    """Our custom-VJP sinkhorn_distance vs reference OldSinkhornOT
+    (pytorch_wasserstein.py:325-393) on identical histograms and a shared
+    cost matrix: forward transport cost and the analytic dual gradient."""
+    import jax
+
+    from ptranking.ltr_adhoc.listwise.wassrank.pytorch_wasserstein import OldSinkhornOT
+
+    from ptranking_tpu.ops.sinkhorn import sinkhorn_distance
+
+    rng = np.random.RandomState(0)
+    B, N = 3, 6
+    mu = rng.rand(B, N) + 0.1
+    mu = mu / mu.sum(axis=1, keepdims=True)
+    nu = rng.rand(B, N) + 0.1
+    nu = nu / nu.sum(axis=1, keepdims=True)
+    cost = np.abs(rng.rand(N, N)).astype(np.float64)
+    lam, iters = 0.5, 200  # enough iterations that both converge
+
+    t_mu = torch.tensor(mu, requires_grad=True)
+    ref = OldSinkhornOT.apply(t_mu, torch.tensor(nu), torch.tensor(cost), lam, iters)
+    ref.backward()
+    ref_val = float(ref)
+    ref_grad = t_mu.grad.numpy()
+
+    cost_b = jnp.broadcast_to(jnp.asarray(cost, jnp.float32), (B, N, N))
+    f = lambda m: sinkhorn_distance(m, jnp.asarray(nu, jnp.float32), cost_b,
+                                    lam, iters)
+    ours_val = float(f(jnp.asarray(mu, jnp.float32)))
+    ours_grad = np.asarray(jax.grad(f)(jnp.asarray(mu, jnp.float32)))
+
+    np.testing.assert_allclose(ours_val, ref_val, rtol=1e-3)
+    np.testing.assert_allclose(ours_grad, ref_grad, rtol=1e-3, atol=1e-5)
