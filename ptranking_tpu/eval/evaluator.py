@@ -9,6 +9,7 @@ name, as in the reference (ltr.py:181-226).
 from __future__ import annotations
 
 import os
+import time
 from typing import Any, Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
@@ -168,11 +169,13 @@ class LTREvaluator:
 
             from ptranking_tpu.data.prefetch import prefetch_to_device
 
+            fold_t0, fold_queries = time.time(), 0
             for epoch_k in range(1, epochs + 1):
                 epoch_loss, stop = ranker.train_epoch(
                     prefetch_to_device(train.batches(shuffle=True, epoch=epoch_k)),
                     epoch_k=epoch_k,
                 )
+                fold_queries += train.num_queries
                 if stop:
                     print("training is failed !")
                     break
@@ -194,6 +197,9 @@ class LTREvaluator:
                 ranker.save(os.path.join(dir_run, f"Fold-{fold_k}", "net_params_latest.pkl"))
             if summary_tape:
                 summary_tape.fold_summary()
+            dt = max(time.time() - fold_t0, 1e-9)
+            if eval_dict.get("do_log", True):
+                print(f"  [fold {fold_k}] {fold_queries / dt:,.0f} lists/s over {epochs} epochs")
             cv_tape.fold_evaluation(ranker, test.batches(), fold_k)
 
         return cv_tape.get_cv_performance()
