@@ -54,6 +54,9 @@ class ScorerConfig:
     # rematerialize encoder layers in the backward pass (jax.checkpoint):
     # trades FLOPs for HBM so very long candidate lists fit on-chip
     remat: bool = False
+    # flash-style blockwise attention above this list length (None = dense):
+    # O(N*block) memory instead of the [B,H,N,N] matrix
+    attn_block_size: Optional[int] = None
 
     @property
     def bn_per_query(self) -> bool:
@@ -152,7 +155,7 @@ def apply_scorer(
             return _listsf.encoder_apply(
                 params["encoder"], v, mask, cfg.n_heads, cfg.encoder_type,
                 drop_rate=cfg.dropout, training=training, key=k_enc,
-                remat=cfg.remat,
+                remat=cfg.remat, attn_block_size=cfg.attn_block_size,
             )
 
         # Variant wiring mirrors reference ListNeuralRanker.forward

@@ -51,6 +51,7 @@ def mhsa_apply(
     drop_rate: float = 0.1,
     training: bool = False,
     key: Optional[jax.Array] = None,
+    attn_block_size: Optional[int] = None,
 ) -> jnp.ndarray:
     """Masked multi-head self-attention over the document axis.
 
@@ -66,6 +67,15 @@ def mhsa_apply(
         return t.reshape(B, N, n_heads, d_head).transpose(0, 2, 1, 3)
 
     q, k, v = heads(q), heads(k), heads(v)
+    if attn_block_size is not None and N > attn_block_size and not (training and drop_rate > 0 and key is not None):
+        # flash-style blockwise path for ultra-long lists: O(N*block) memory
+        # (no attention-probability dropout there, so only taken when the
+        # dense path would not apply dropout either)
+        from ptranking_tpu.ops.attention import blockwise_attention
+
+        out = blockwise_attention(q, k, v, mask, block_size=attn_block_size)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, F)
+        return linear_apply(p["fc"], out)
     logits = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
     logits = logits / jnp.sqrt(jnp.asarray(d_head, jnp.float32))
     logits = jnp.where(mask[:, None, None, :], logits, PAD_SCORE)
@@ -137,6 +147,7 @@ def encoder_apply(
     training: bool = False,
     key: Optional[jax.Array] = None,
     remat: bool = False,
+    attn_block_size: Optional[int] = None,
 ) -> jnp.ndarray:
     """Encoder wiring per variant (reference Encoder/EncoderLayer/
     SublayerConnection, list_ranker.py:53-149):
@@ -154,16 +165,16 @@ def encoder_apply(
     def one_layer(layer, x, k0, k1, k2, k3):
         if encoder_type == "AllRank":
             h = layer_norm_apply(layer["ln1"], x)
-            h = mhsa_apply(layer["mhsa"], h, mask, n_heads, drop_rate, training, k0)
+            h = mhsa_apply(layer["mhsa"], h, mask, n_heads, drop_rate, training, k0, attn_block_size)
             x = x + dropout(k1, h, drop_rate, training)
             h = layer_norm_apply(layer["ln2"], x)
             h = pff_apply(layer["fc"], h, drop_rate, training, k2)
             x = x + dropout(k3, h, drop_rate, training)  # independent of k1
         elif encoder_type == "DASALC":
-            h = mhsa_apply(layer["mhsa"], x, mask, n_heads, drop_rate, training, k0)
+            h = mhsa_apply(layer["mhsa"], x, mask, n_heads, drop_rate, training, k0, attn_block_size)
             x = layer_norm_apply(layer["ln"], h)
         elif encoder_type == "AttnDIN":
-            h = mhsa_apply(layer["mhsa"], x, mask, n_heads, drop_rate, training, k0)
+            h = mhsa_apply(layer["mhsa"], x, mask, n_heads, drop_rate, training, k0, attn_block_size)
             x = layer_norm_apply(layer["ln"], x + h)
         else:
             raise NotImplementedError(encoder_type)

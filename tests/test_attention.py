@@ -1,0 +1,62 @@
+"""Blockwise (flash-style) masked attention (ops/attention.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ptranking_tpu.ops.attention import blockwise_attention
+from ptranking_tpu.parallel.ring import reference_attention
+
+
+def _fixtures(B=2, H=2, N=300, d=16, seed=0):
+    rng = np.random.RandomState(seed)
+    q = jnp.asarray(rng.randn(B, H, N, d), jnp.float32)
+    k = jnp.asarray(rng.randn(B, H, N, d), jnp.float32)
+    v = jnp.asarray(rng.randn(B, H, N, d), jnp.float32)
+    mask = jnp.ones((B, N), bool).at[0, 200:].set(False)
+    return q, k, v, mask
+
+
+@pytest.mark.parametrize("block", [64, 128, 150])
+def test_blockwise_matches_dense(block):
+    q, k, v, mask = _fixtures()
+    with jax.default_matmul_precision("highest"):
+        ref = reference_attention(q, k, v, mask)
+        out = blockwise_attention(q, k, v, mask, block_size=block)
+    # only real query rows carry meaning; fully-masked rows are garbage by
+    # contract (every consumer applies the mask)
+    rows = mask[:, None, :, None]
+    diff = jnp.where(rows, jnp.abs(out - ref), 0.0)
+    assert float(jnp.max(diff)) < 1e-5
+
+
+def test_blockwise_grads_match_dense():
+    q, k, v, mask = _fixtures(N=256)
+    rows = mask[:, None, :, None]
+
+    with jax.default_matmul_precision("highest"):
+        g1 = jax.grad(lambda x: jnp.sum(jnp.where(
+            rows, blockwise_attention(x, k, v, mask, 128), 0.0) ** 2))(q)
+        g2 = jax.grad(lambda x: jnp.sum(jnp.where(
+            rows, reference_attention(x, k, v, mask), 0.0) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+
+def test_scorer_attn_block_size_routing():
+    """listsf with attn_block_size produces the same scores as dense."""
+    from ptranking_tpu.models import ScorerConfig, apply_scorer, init_scorer
+
+    rng = np.random.RandomState(1)
+    F = 16
+    cfg_d = ScorerConfig.default_listsf(num_features=F, encoder_layers=2)
+    cfg_b = ScorerConfig.default_listsf(num_features=F, encoder_layers=2,
+                                        attn_block_size=64)
+    params = init_scorer(jax.random.PRNGKey(0), cfg_d)
+    x = jnp.asarray(rng.randn(3, 200, F), jnp.float32)
+    m = jnp.ones((3, 200), bool).at[0, 150:].set(False)
+    with jax.default_matmul_precision("highest"):
+        sd = apply_scorer(params, cfg_d, x, m, training=False)
+        sb = apply_scorer(params, cfg_b, x, m, training=False)
+    diff = jnp.where(m, jnp.abs(sd - sb), 0.0)
+    assert float(jnp.max(diff)) < 1e-4
