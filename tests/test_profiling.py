@@ -31,9 +31,12 @@ def test_force_returns_float():
 def test_debug_nans_toggle():
     enable_debug_nans(True)
     try:
+        # debug_nans instruments newly compiled executables only; clear the
+        # cache so a prior test's identical computation can't shadow the probe
+        jax.clear_caches()
         ok = False
         try:
-            jnp.log(jnp.zeros(2) / jnp.zeros(2)).block_until_ready()
+            jnp.log(jnp.zeros(3) / jnp.zeros(3)).block_until_ready()
         except FloatingPointError:
             ok = True
         assert ok, "debug_nans should fault on NaN"
