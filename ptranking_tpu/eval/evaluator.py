@@ -169,13 +169,17 @@ class LTREvaluator:
 
             from ptranking_tpu.data.prefetch import prefetch_to_device
 
-            fold_t0, fold_queries = time.time(), 0
+            train_s, fold_queries, epochs_ran = 0.0, 0, 0
             for epoch_k in range(1, epochs + 1):
+                t_ep = time.time()
                 epoch_loss, stop = ranker.train_epoch(
                     prefetch_to_device(train.batches(shuffle=True, epoch=epoch_k)),
                     epoch_k=epoch_k,
                 )
-                fold_queries += train.num_queries
+                train_s += time.time() - t_ep  # train-only window
+                if not stop:
+                    epochs_ran += 1
+                    fold_queries += train.num_queries
                 if stop:
                     print("training is failed !")
                     break
@@ -197,9 +201,9 @@ class LTREvaluator:
                 ranker.save(os.path.join(dir_run, f"Fold-{fold_k}", "net_params_latest.pkl"))
             if summary_tape:
                 summary_tape.fold_summary()
-            dt = max(time.time() - fold_t0, 1e-9)
-            if eval_dict.get("do_log", True):
-                print(f"  [fold {fold_k}] {fold_queries / dt:,.0f} lists/s over {epochs} epochs")
+            if eval_dict.get("do_log", True) and epochs_ran:
+                print(f"  [fold {fold_k}] {fold_queries / max(train_s, 1e-9):,.0f}"
+                      f" lists/s (training) over {epochs_ran} epochs")
             cv_tape.fold_evaluation(ranker, test.batches(), fold_k)
 
         return cv_tape.get_cv_performance()

@@ -67,13 +67,17 @@ def mhsa_apply(
         return t.reshape(B, N, n_heads, d_head).transpose(0, 2, 1, 3)
 
     q, k, v = heads(q), heads(k), heads(v)
-    if attn_block_size is not None and N > attn_block_size and not (training and drop_rate > 0 and key is not None):
-        # flash-style blockwise path for ultra-long lists: O(N*block) memory
-        # (no attention-probability dropout there, so only taken when the
-        # dense path would not apply dropout either)
+    if attn_block_size is not None and N > attn_block_size:
+        # flash-style blockwise path for ultra-long lists: O(N*block) memory;
+        # attention-probability dropout is applied inside the blocks (exact
+        # dense equivalence — see ops/attention.py)
         from ptranking_tpu.ops.attention import blockwise_attention
 
-        out = blockwise_attention(q, k, v, mask, block_size=attn_block_size)
+        out = blockwise_attention(
+            q, k, v, mask, block_size=attn_block_size,
+            drop_rate=drop_rate if training else 0.0,
+            key=key if training else None,
+        )
         out = out.transpose(0, 2, 1, 3).reshape(B, N, F)
         return linear_apply(p["fc"], out)
     logits = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)

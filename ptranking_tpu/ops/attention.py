@@ -8,18 +8,74 @@ rematerialised (`jax.checkpoint`) so neither the forward nor the backward
 ever holds more than one [*, N, block] slab: O(N * block) memory instead of
 O(N^2).
 
-Semantics match mhsa_apply's core exactly: masked keys get logit -1e9 (so a
-fully-masked row degrades to uniform attention, same as the dense path), fp32
-logits/accumulators, output in the input dtype. The multi-chip counterpart is
-parallel/ring.ring_attention (same math, ppermute instead of scan).
+Semantics match mhsa_apply's dense core for real query rows: masked keys get
+logit -1e9, fp32 logits/accumulators, output in the input dtype, and
+attention-probability dropout is supported exactly (dropping the unnormalised
+numerator terms equals dropping the normalised probabilities, since the
+denominator is unaffected by dropout in the dense path too). Fully-masked
+query rows are garbage by contract in both paths (the dense path spreads
+uniform weight over N keys, this path over N plus key padding) — every
+consumer applies the mask. The multi-chip counterpart is
+parallel/ring.ring_attention, which shares the block math below.
 """
 
 from __future__ import annotations
+
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 _NEG = -1e9
+
+
+def sdpa_block(q, k, v, kmask, scale) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One (q-block, kv-block) partial attention: returns (num, denom, m).
+
+    q: [B, H, nq, d]; k/v: [B, H, nk, d]; kmask: [B, nk].
+    num   = sum_j exp(logit_j - m) v_j      [B, H, nq, d]
+    denom = sum_j exp(logit_j - m)          [B, H, nq]
+    m     = max_j logit_j                   [B, H, nq]
+    Shared by blockwise_attention (scan over local blocks) and
+    parallel/ring.ring_attention (ppermute over remote blocks).
+    """
+    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    logits = jnp.where(kmask[:, None, None, :], logits, _NEG)
+    m = jnp.max(logits, axis=-1)
+    p = jnp.exp(logits - m[..., None])
+    denom = jnp.sum(p, axis=-1)
+    num = jnp.einsum("bhnm,bhmd->bhnd", p.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return num, denom, m
+
+
+def _sdpa_block_dropped(q, k, v, kmask, scale, drop_rate, key):
+    """sdpa_block with Bernoulli dropout on the NUMERATOR terms only — the
+    exact blockwise equivalent of dense dropout(softmax(qk))v, because the
+    dense path's denominator is also computed before dropout."""
+    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    logits = jnp.where(kmask[:, None, None, :], logits, _NEG)
+    m = jnp.max(logits, axis=-1)
+    p = jnp.exp(logits - m[..., None])
+    denom = jnp.sum(p, axis=-1)
+    keep = 1.0 - drop_rate
+    keep_mask = jax.random.bernoulli(key, keep, p.shape)
+    p_num = jnp.where(keep_mask, p / keep, 0.0)
+    num = jnp.einsum("bhnm,bhmd->bhnd", p_num.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return num, denom, m
+
+
+def online_combine(num, den, mx, part_num, part_den, part_m):
+    """Fold one block's partial softmax into the running accumulators."""
+    new_mx = jnp.maximum(mx, part_m)
+    alpha = jnp.exp(mx - new_mx)
+    beta = jnp.exp(part_m - new_mx)
+    num = num * alpha[..., None] + part_num * beta[..., None]
+    den = den * alpha + part_den * beta
+    return num, den, new_mx
 
 
 def blockwise_attention(
@@ -28,6 +84,8 @@ def blockwise_attention(
     v: jnp.ndarray,      # [B, H, N, d]
     mask: jnp.ndarray,   # [B, N] key mask
     block_size: int = 512,
+    drop_rate: float = 0.0,
+    key: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     B, H, N, d = q.shape
     block = min(block_size, N)
@@ -43,29 +101,26 @@ def blockwise_attention(
     k_blocks = k.reshape(B, H, nk, block, d).transpose(2, 0, 1, 3, 4)
     v_blocks = v.reshape(B, H, nk, block, d).transpose(2, 0, 1, 3, 4)
     m_blocks = mask.reshape(B, nk, block).transpose(1, 0, 2)
+    dropping = drop_rate > 0.0 and key is not None
+    block_keys = (jax.random.split(key, nk) if dropping
+                  else jnp.zeros((nk, 2), jnp.uint32))
 
     @jax.checkpoint  # recompute the block logits in the backward pass
     def step(carry, blk):
         num, den, mx = carry
-        kb, vb, mb = blk
-        logits = jnp.einsum("bhnd,bhmd->bhnm", q, kb,
-                            preferred_element_type=jnp.float32) * scale
-        logits = jnp.where(mb[:, None, None, :], logits, _NEG)
-        bm = jnp.max(logits, axis=-1)
-        new_mx = jnp.maximum(mx, bm)
-        alpha = jnp.exp(mx - new_mx)
-        p = jnp.exp(logits - new_mx[..., None])
-        num = num * alpha[..., None] + jnp.einsum(
-            "bhnm,bhmd->bhnd", p.astype(vb.dtype), vb,
-            preferred_element_type=jnp.float32)
-        den = den * alpha + jnp.sum(p, axis=-1)
-        return (num, den, new_mx), None
+        kb, vb, mb, bk = blk
+        if dropping:
+            part = _sdpa_block_dropped(q, kb, vb, mb, scale, drop_rate, bk)
+        else:
+            part = sdpa_block(q, kb, vb, mb, scale)
+        return online_combine(num, den, mx, *part), None
 
     init = (
         jnp.zeros((B, H, N, d), jnp.float32),
         jnp.zeros((B, H, N), jnp.float32),
         jnp.full((B, H, N), -jnp.inf, jnp.float32),
     )
-    (num, den, _), _ = jax.lax.scan(step, init, (k_blocks, v_blocks, m_blocks))
+    (num, den, _), _ = jax.lax.scan(
+        step, init, (k_blocks, v_blocks, m_blocks, block_keys))
     out = num / jnp.maximum(den, 1e-30)[..., None]
     return out.astype(q.dtype)

@@ -25,26 +25,8 @@ import jax.numpy as jnp
 from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-_NEG = -1e9
-
-
-def _sdpa_block(q, k, v, kmask, scale):
-    """One (q-block, kv-block) partial attention: returns (num, denom, m).
-
-    q: [B, H, nq, d]; k/v: [B, H, nk, d]; kmask: [B, nk].
-    num   = sum_j exp(logit_j - m) v_j      [B, H, nq, d]
-    denom = sum_j exp(logit_j - m)          [B, H, nq]
-    m     = max_j logit_j                   [B, H, nq]
-    """
-    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    logits = jnp.where(kmask[:, None, None, :], logits, _NEG)
-    m = jnp.max(logits, axis=-1)
-    p = jnp.exp(logits - m[..., None])
-    denom = jnp.sum(p, axis=-1)
-    num = jnp.einsum("bhnm,bhmd->bhnd", p.astype(v.dtype), v,
-                     preferred_element_type=jnp.float32)
-    return num, denom, m
+# block math shared with the single-chip blockwise path (ops/attention.py)
+from ptranking_tpu.ops.attention import online_combine, sdpa_block as _sdpa_block
 
 
 def ring_attention(
@@ -63,12 +45,8 @@ def ring_attention(
     def per_device(q_l, k_l, v_l, m_l):
         def step(carry, _):
             k_c, v_c, m_c, num, denom, mx = carry
-            pn, pd, pm = _sdpa_block(q_l, k_c, v_c, m_c, scale)
-            new_mx = jnp.maximum(mx, pm)
-            alpha = jnp.exp(mx - new_mx)     # rescale old accumulators
-            beta = jnp.exp(pm - new_mx)      # rescale this block
-            num = num * alpha[..., None] + pn * beta[..., None]
-            denom = denom * alpha + pd * beta
+            part = _sdpa_block(q_l, k_c, v_c, m_c, scale)
+            num, denom, new_mx = online_combine(num, denom, mx, *part)
             k_n = jax.lax.ppermute(k_c, axis_name, perm)
             v_n = jax.lax.ppermute(v_c, axis_name, perm)
             m_n = jax.lax.ppermute(m_c, axis_name, perm)
