@@ -1,0 +1,76 @@
+"""Batch scoring CLI — the serving entry point.
+
+    python -m ptranking_tpu.score -ckpt fold1.pkl -in test.txt -out run.txt \
+        -data MQ2008 [-runid myrun]
+
+Reads a LETOR/LibSVM file, restores the ranker from a self-describing
+checkpoint (AdhocRanker.from_checkpoint), scores every query in padded
+buckets on the accelerator, and writes a TREC-format run file
+(qid Q0 docid rank score runid). No reference counterpart — the reference has
+no inference path outside its evaluators.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("ptranking_tpu.score")
+    p.add_argument("-ckpt", required=True, help="self-describing checkpoint (.pkl)")
+    p.add_argument("-in", dest="in_path", required=True, help="LETOR/LibSVM file")
+    p.add_argument("-out", dest="out_path", required=True, help="TREC run file to write")
+    p.add_argument("-data", dest="data_id", default="GLTR_LETOR")
+    p.add_argument("-runid", default="ptranking_tpu")
+    p.add_argument("-batch_docs", type=int, default=4096)
+    return p
+
+
+def score_file(ckpt: str, in_path: str, out_path: str, data_id: str = "GLTR_LETOR",
+               runid: str = "ptranking_tpu", batch_docs: int = 4096) -> int:
+    from ptranking_tpu.data.dataset import BucketedDataset
+    from ptranking_tpu.data.letor import load_letor_file
+    from ptranking_tpu.train import AdhocRanker
+
+    ranker = AdhocRanker.from_checkpoint(ckpt)
+    queries = load_letor_file(in_path, data_id=data_id, min_docs=1, min_rele=0,
+                              presort=False)
+    ds = BucketedDataset(queries, batch_docs=batch_docs)
+    rows = 0
+    with open(out_path, "w") as f:
+        for batch in ds.batches():
+            scores = np.asarray(ranker.predict(batch))
+            mask = np.asarray(batch.mask)
+            for i, qrow in enumerate(np.asarray(batch.qids)):
+                if qrow < 0 or not mask[i].any():
+                    continue  # all-padded remainder row
+                n = int(mask[i].sum())
+                order = np.argsort(-scores[i, :n], kind="stable")
+                qid = _qid_for(ds, batch, i)
+                for rank, j in enumerate(order, start=1):
+                    f.write(f"{qid} Q0 {qid}-d{j} {rank} "
+                            f"{scores[i, j]:.6f} {runid}\n")
+                    rows += 1
+    return rows
+
+
+def _qid_for(ds, batch, i):
+    """Map a batch row back to its qid string via the dataset's bucket maps."""
+    # RankingBatch.qids holds the per-bucket query index; buckets are keyed by
+    # padded length == batch features' second dim
+    bucket = batch.features.shape[1]
+    idx = int(np.asarray(batch.qids)[i])
+    return ds._qid_strs[bucket][idx]
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    n = score_file(args.ckpt, args.in_path, args.out_path, data_id=args.data_id,
+                   runid=args.runid, batch_docs=args.batch_docs)
+    print(f"wrote {n} rows to {args.out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -226,10 +226,30 @@ class AdhocRanker:
         to_np = lambda t: jax.tree_util.tree_map(np.asarray, t)
         return {
             "model_id": self.model_id,
+            # self-describing: enough to rebuild the ranker for serving
+            "scorer_cfg": self.scorer_cfg,
+            "model_paras": self.model_paras,
+            "opt_cfg": self.opt_cfg,
+            "label_type": self.label_type,
             "params": to_np(self.params),
             "opt_state": to_np(self.opt_state),
             "key": np.asarray(self._key),
         }
+
+    @classmethod
+    def from_checkpoint(cls, path: str) -> "AdhocRanker":
+        """Rebuild a ranker for inference/resume from a self-describing
+        checkpoint (older checkpoints without scorer_cfg are rejected)."""
+        with open(path, "rb") as f:
+            d = pickle.load(f)
+        if "scorer_cfg" not in d:
+            raise ValueError(f"checkpoint {path} predates self-describing "
+                             "checkpoints; rebuild the ranker manually")
+        ranker = cls(d["model_id"], d["scorer_cfg"], model_paras=d["model_paras"],
+                     opt_cfg=d["opt_cfg"], label_type=d["label_type"])
+        ranker.init()
+        ranker.load(path)
+        return ranker
 
     def save(self, path: str):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

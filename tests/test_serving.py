@@ -1,0 +1,52 @@
+"""Serving path: self-describing checkpoints + the batch scoring CLI."""
+
+import os
+
+import numpy as np
+
+from ptranking_tpu.data.dataset import BucketedDataset, make_synthetic_queries
+from ptranking_tpu.models import ScorerConfig
+from ptranking_tpu.train import AdhocRanker
+
+
+def _trained_ranker(tmp_path, F=8):
+    qs = make_synthetic_queries(num_queries=10, num_features=F, seed=0)
+    ds = BucketedDataset(qs, batch_docs=256)
+    r = AdhocRanker("RankMSE", ScorerConfig.default_pointsf(num_features=F)).init()
+    r.train_epoch(ds.batches(shuffle=True, epoch=1), 1)
+    ck = str(tmp_path / "model.pkl")
+    r.save(ck)
+    return r, qs, ds, ck
+
+
+def test_from_checkpoint_restores_identical_scores(tmp_path):
+    r, qs, ds, ck = _trained_ranker(tmp_path)
+    r2 = AdhocRanker.from_checkpoint(ck)
+    assert r2.model_id == r.model_id and r2.scorer_cfg == r.scorer_cfg
+    b = next(iter(ds.batches()))
+    np.testing.assert_allclose(np.asarray(r.predict(b)), np.asarray(r2.predict(b)),
+                               atol=1e-6)
+
+
+def test_score_file_writes_trec_run(tmp_path):
+    from ptranking_tpu.score import score_file
+
+    r, qs, ds, ck = _trained_ranker(tmp_path)
+    letor = str(tmp_path / "in.txt")
+    with open(letor, "w") as f:
+        for qid, feats, labels in qs:
+            for x, y in zip(feats, labels):
+                row = " ".join(f"{i+1}:{v:.5f}" for i, v in enumerate(x))
+                f.write(f"{int(y)} qid:{qid} {row}\n")
+    out = str(tmp_path / "run.txt")
+    n = score_file(ck, letor, out, data_id="GLTR_LETOR")
+    lines = open(out).read().splitlines()
+    assert n == len(lines) == sum(len(q[2]) for q in qs)
+    # TREC format: qid Q0 docid rank score runid; ranks dense from 1 per query
+    seen = {}
+    for line in lines:
+        qid, q0, docid, rank, score, runid = line.split()
+        assert q0 == "Q0" and docid.startswith(qid)
+        seen.setdefault(qid, []).append(int(rank))
+    for qid, ranks in seen.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
