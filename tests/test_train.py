@@ -108,3 +108,30 @@ def test_stop_guard_triggers_on_nan():
     ds = BucketedDataset(qs, batch_docs=128)
     loss, stop = ranker.train_epoch(ds.batches(), epoch_k=10)  # checks at k%10==0
     assert stop
+
+
+def test_full_zoo_trains_two_epochs():
+    """Every registered adhoc model trains two epochs on tiny synthetic data
+    with finite losses — the smoke net the reference ran by hand via its
+    testing/ scripts."""
+    import jax.numpy as jnp
+
+    from ptranking_tpu.data.dataset import BucketedDataset, make_synthetic_queries
+    from ptranking_tpu.losses import LOSSES, REQUIRES_LISTSF
+    from ptranking_tpu.models import ScorerConfig
+
+    F = 8
+    qs = make_synthetic_queries(num_queries=8, num_features=F, min_docs=6,
+                                max_docs=12, seed=0)
+    ds = BucketedDataset(qs, batch_docs=128)
+    for model_id in sorted(LOSSES):
+        cfg = (ScorerConfig.default_listsf(num_features=F, encoder_layers=1)
+               if model_id in REQUIRES_LISTSF
+               else ScorerConfig.default_pointsf(num_features=F, num_layers=2))
+        r = AdhocRanker(model_id, cfg).init()
+        for e in (1, 2):
+            loss, stop = r.train_epoch(ds.batches(shuffle=True, epoch=e), e)
+            assert np.isfinite(loss), (model_id, e, loss)
+            assert not stop, model_id
+        scores = r.predict(next(iter(ds.batches())))
+        assert bool(jnp.all(jnp.isfinite(scores))), model_id
