@@ -62,7 +62,7 @@ DEFAULT_PARAS: Dict[str, Dict[str, Any]] = {
     "ApproxNDCG": {"alpha": 10.0},  # approxNDCG.py:128
     "LambdaLoss": {"loss_type": "NDCG_Loss2", "k": 5, "sigma": 1.0, "mu": 5.0},  # lambdaloss.py:168
     "SoftRank": {"delta": 2.0, "top_k": None},  # softrank.py:95
-    "MDPRank": {"distribution": "PL", "temperature": 1.0, "gamma": 1.0, "top_k": None},  # mdprank.py:100
+    "MDPRank": {"distribution": "PL", "temperature": 1.0, "gamma": 1.0, "top_k": 10},  # mdprank.py:95
     "WassRank": {
         "mode": "SinkhornOT", "sh_itr": 20, "lam": 0.1, "smooth_type": "ST",
         "norm_type": "BothST", "cost_type": "eg", "non_rele_gap": 100.0,

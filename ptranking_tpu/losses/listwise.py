@@ -116,7 +116,8 @@ def rank_cosine(scores, labels, mask, **_):
 
     denom = safe_norm(s) * safe_norm(l)
     cos = dot / jnp.maximum(denom, 1e-8)  # torch CosineSimilarity eps=1e-8
-    return jnp.sum((1.0 - cos) / 0.5)
+    real = jnp.any(mask, axis=-1)  # all-padded rows must contribute 0, not 2.0
+    return jnp.sum(jnp.where(real, (1.0 - cos) / 0.5, 0.0))
 
 
 def approx_ranks(scores, mask, alpha: float = 10.0):
@@ -171,7 +172,9 @@ def lambda_loss(scores, labels, mask, loss_type: str = "NDCG_Loss2",
     n_gains = gains / idcg[:, None]  # [B, N]
 
     if loss_type == "NDCG_Loss1":
-        w = (n_gains / inv_discounts)[:, None, :]  # column-aligned, see docstring
+        # reference: batch_n_gains / dists_1D with dists = 1/log2(r+2), i.e.
+        # n_gains * log2(r+2); column-aligned per the [B,N] ** broadcast
+        w = (n_gains * inv_discounts)[:, None, :]
         weights = jnp.broadcast_to(w, (scores.shape[0], N, N))
     else:
         d = jnp.abs(positions[:, None] - positions[None, :])  # |i-j|
@@ -188,7 +191,9 @@ def lambda_loss(scores, labels, mask, loss_type: str = "NDCG_Loss2",
 
     diffs = jnp.clip(pairwise_diffs(sorted_scores), -1e8, 1e8)
     log_probas = jnp.log2(jnp.clip(jax.nn.sigmoid(sigma * diffs), EPSILON, None))
-    log_weighted = weights * log_probas  # log2(p^w) = w*log2(p)
+    # reference clamps p^w itself to eps as well (lambdaloss.py:120):
+    # log2(clamp(p^w, eps)) == max(w*log2(p), log2(eps))
+    log_weighted = jnp.maximum(weights * log_probas, jnp.log2(EPSILON))
 
     trunc = (positions[:, None] < k) & (positions[None, :] < k)
     select = trunc[None] & pair_mask(sorted_mask)

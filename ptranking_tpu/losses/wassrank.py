@@ -119,9 +119,11 @@ def wass_rank(scores, labels, mask, mode: str = "SinkhornOT", sh_itr: int = 20,
         std_hists = std_histogram_gn(labels, mask)
     pred_hists = pred_histogram(scores, labels, mask, smooth_type, tl_af)
 
+    real = jnp.any(mask, axis=-1)  # exclude all-padded remainder rows
     if mode == "SinkhornOT":
-        return sinkhorn_distance(pred_hists, std_hists, cost, lam, sh_itr)
+        return sinkhorn_distance(pred_hists, std_hists, cost, real, lam, sh_itr)
     elif mode == "EntropicOT":
-        loss, _ = entropic_ot(pred_hists, std_hists, cost, eps=lam, max_iters=sh_itr)
+        loss, _ = entropic_ot(pred_hists, std_hists, cost, eps=lam,
+                              max_iters=sh_itr, row_mask=real)
         return loss
     raise NotImplementedError(mode)

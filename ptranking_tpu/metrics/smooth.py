@@ -56,8 +56,19 @@ def precision_as_objective(smooth_ranks, labels, mask, top_k=None,
 def ap_as_objective(smooth_ranks, labels, mask, top_k=None, opt_ideal: bool = True, **_):
     """Smooth AP (reference AP_as_opt_objective, metric_as_opt_objective.py:75-146):
     AP = mean over relevant docs of (# relevant at-or-above / smooth rank)."""
-    if not opt_ideal:
-        smooth_ranks, labels, mask = _resort(smooth_ranks, labels, mask)
+    n = labels.shape[-1]
+    natural = jnp.arange(1, n + 1, dtype=labels.dtype)[None]
+    if opt_ideal:
+        # reference's ADOPTED formulation (metric_as_opt_objective.py:88-92):
+        # AP = sum_i cumsum_j<=i(natural_j/smooth_j)/natural_i * bin_i / #rele
+        bins = jnp.where(mask, jnp.clip(labels, 0.0, 1.0), 0.0)
+        cum = jnp.cumsum(jnp.where(mask, natural / jnp.maximum(smooth_ranks, _EPS), 0.0), -1)
+        rankwise_pre = cum / natural
+        sel = _topk_mask(mask, top_k)
+        terms = jnp.where(sel, rankwise_pre * bins, 0.0)
+        denom = jnp.maximum(jnp.sum(jnp.where(sel, bins, 0.0), -1), 1.0)
+        return -jnp.sum(jnp.sum(terms, -1) / denom)
+    smooth_ranks, labels, mask = _resort(smooth_ranks, labels, mask)
     bins = jnp.where(mask, jnp.clip(labels, 0.0, 1.0), 0.0)
     cum_rele = jnp.cumsum(bins, axis=-1)
     sel = _topk_mask(mask, top_k)
@@ -75,6 +86,11 @@ def nerr_as_objective(smooth_ranks, labels, mask, top_k=None, max_label=None,
 
     if max_label is None:
         max_label = jnp.max(jnp.where(mask, labels, 0.0))
+    # ideal ERR from the PRESORTED labels, before any resort (reference
+    # computes batch_ideal_err from batch_std_labels first,
+    # metric_as_opt_objective.py:155-156)
+    k = top_k if top_k is not None else labels.shape[-1]
+    ideal = rankwise_err(jnp.where(mask, labels, 0.0), max_label)[..., min(k, labels.shape[-1]) - 1]
     if not opt_ideal:
         smooth_ranks, labels, mask = _resort(smooth_ranks, labels, mask)
     labels = jnp.where(mask, labels, 0.0)
@@ -84,8 +100,6 @@ def nerr_as_objective(smooth_ranks, labels, mask, top_k=None, max_label=None,
     cascade = jnp.concatenate([jnp.ones_like(cum_unsatis[..., :1]), cum_unsatis[..., :-1]], -1)
     sel = _topk_mask(mask, top_k)
     err = jnp.sum(jnp.where(sel, satis * cascade / jnp.maximum(smooth_ranks, _EPS), 0.0), -1)
-    k = top_k if top_k is not None else labels.shape[-1]
-    ideal = rankwise_err(labels, max_label)[..., min(k, labels.shape[-1]) - 1]
     return -jnp.sum(err / jnp.maximum(ideal, _EPS))
 
 

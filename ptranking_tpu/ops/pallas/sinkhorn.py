@@ -1,4 +1,8 @@
-"""Pallas kernel for the batched log-domain Sinkhorn half-step.
+"""
+
+NOTE: the kernel stages one batch row's full [N, N] cost block in VMEM
+(~16 MB/core), so it is valid for N up to roughly 1.5k; beyond that use the
+XLA log-sum-exp path in ops/sinkhorn.py (which handles any N).Pallas kernel for the batched log-domain Sinkhorn half-step.
 
 The reference's only device kernel is an inline CUDA `sinkstep` — a log-sum-
 exp matvec with warp-shuffle reductions (reference ltr_adhoc/listwise/

@@ -10,7 +10,7 @@ TPU-native replacement for the reference's WassRank machinery
     with `lax.while_loop` carrying the marginal error.
   * The inline CUDA `sinkstep` kernel (:76-268) — the log-sum-exp matvec —
     maps to a single fused XLA reduction here; a Pallas kernel version lives
-    in ops/pallas/sinkhorn.py for large N.
+    in ops/pallas/sinkhorn.py for mid-sized N.
 
 All functions are batched ([B, N] histograms, [B, N, N] costs) and masked:
 padded slots must carry zero mass; they are excluded from every logsumexp.
@@ -28,7 +28,10 @@ _NEG = -1e30  # log-domain "minus infinity" that stays NaN-free under arithmetic
 
 
 def _safe_log(x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.where(x > 0, jnp.log(jnp.maximum(x, 1e-38)), _NEG)
+    # double-where: the log must never SEE a non-positive input, or its
+    # backward (cot/x) manufactures inf/NaN that the outer where cannot erase
+    pos = x > 0
+    return jnp.where(pos, jnp.log(jnp.where(pos, x, 1.0)), _NEG)
 
 
 def _lse(x: jnp.ndarray, axis: int) -> jnp.ndarray:
@@ -85,75 +88,94 @@ def _transport_cost(log_u, log_v, cost, lam):
     return jnp.exp(_lse(_lse(terms, axis=-1), axis=-1))  # [B]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _row_weights(mu, row_mask):
+    if row_mask is None:
+        return jnp.ones(mu.shape[0], mu.dtype)
+    return row_mask.astype(mu.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def sinkhorn_distance(mu: jnp.ndarray, nu: jnp.ndarray, cost: jnp.ndarray,
+                      row_mask: jnp.ndarray = None,
                       lam: float = 0.1, n_iters: int = 20) -> jnp.ndarray:
-    """Entropic-OT transport cost per batch row, mean over the batch.
+    """Entropic-OT transport cost per batch row, mean over REAL rows.
 
     Semantics mirror reference OldSinkhornOT (pytorch_wasserstein.py:325-393):
     forward returns mean_b sum_ij u K C v; backward propagates only into `mu`
     with the analytic dual gradient lam*log(u), double-mean-centered.
 
-    mu, nu: [B, N] histograms (padded slots = 0 mass); cost: [B, N, N].
+    mu, nu: [B, N] histograms (padded slots = 0 mass); cost: [B, N, N];
+    row_mask: [B] bool — all-padded remainder rows of bucketed batches must
+    not dilute the mean (repo convention: means divide by real queries).
     """
     log_u, log_v = sinkhorn_log_scalings(_safe_log(mu), _safe_log(nu), cost, lam, n_iters)
-    return jnp.mean(_transport_cost(log_u, log_v, cost, lam))
+    w = _row_weights(mu, row_mask)
+    per_row = _transport_cost(log_u, log_v, cost, lam)
+    return jnp.sum(per_row * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
-def _sd_fwd(mu, nu, cost, lam, n_iters):
+def _sd_fwd(mu, nu, cost, row_mask, lam, n_iters):
     log_u, log_v = sinkhorn_log_scalings(_safe_log(mu), _safe_log(nu), cost, lam, n_iters)
-    w = jnp.mean(_transport_cost(log_u, log_v, cost, lam))
-    return w, (log_u, mu)
+    w = _row_weights(mu, row_mask)
+    per_row = _transport_cost(log_u, log_v, cost, lam)
+    out = jnp.sum(per_row * w) / jnp.maximum(jnp.sum(w), 1.0)
+    return out, (log_u, mu, w)
 
 
 def _sd_bwd(lam, n_iters, res, g):
-    log_u, mu = res
+    log_u, mu, w = res
     valid = mu > 0
     grad = jnp.where(valid, log_u * lam, 0.0)
     n = jnp.maximum(jnp.sum(valid, axis=-1, keepdims=True), 1)
     # double mean-centering over valid entries (pytorch_wasserstein.py:377-379)
     grad = grad - jnp.where(valid, jnp.sum(grad, -1, keepdims=True) / n, 0.0)
     grad = grad - jnp.where(valid, jnp.sum(grad, -1, keepdims=True) / n, 0.0)
-    grad = grad / mu.shape[0]
-    return (g * grad, None, None)
+    grad = grad * (w / jnp.maximum(jnp.sum(w), 1.0))[:, None]
+    return (g * grad, None, None, None)
 
 
 sinkhorn_distance.defvjp(_sd_fwd, _sd_bwd)
 
 
 def entropic_ot(mu: jnp.ndarray, nu: jnp.ndarray, cost: jnp.ndarray,
-                eps: float = 0.1, max_iters: int = 100, thresh: float = 1e-1):
-    """Sinkhorn divergence with convergence early-exit, differentiable end to
-    end through the (unrolled-by-while) iterations.
+                eps: float = 0.1, max_iters: int = 100, thresh: float = 1e-1,
+                row_mask: jnp.ndarray = None):
+    """Sinkhorn divergence with a convergence freeze, reverse-mode
+    differentiable (fixed-length lax.scan; once the L1 marginal error drops
+    below thresh the potentials stop updating — same result as the
+    reference's early break, but grad-able, unlike lax.while_loop).
 
     Mirrors reference EntropicOT (pytorch_wasserstein.py:27-74): u/v potentials
-    updated in log space until the L1 marginal error < thresh, then
-    loss = sum(pi * C) per row, mean over batch. Returns (loss, pi).
+    updated in log space, then loss = sum(pi * C) per row, mean over REAL
+    rows. Returns (loss, pi).
     """
     log_mu, log_nu = _safe_log(mu), _safe_log(nu)
-    B, N = mu.shape
     valid_mu = mu > 0
 
     def m_op(f, g):  # M_ij = (-C + f_i + g_j) / eps
         return (-cost + f[..., :, None] + g[..., None, :]) / eps
 
-    def cond(state):
-        f, g, err, it = state
-        return jnp.logical_and(err > thresh, it < max_iters)
-
-    def body(state):
-        f, g, _, it = state
+    def body(state, _):
+        f, g, err = state
         f1 = eps * (log_mu - _lse(m_op(f, g), axis=-1)) + f
         f1 = jnp.where(valid_mu, f1, _NEG)
         g1 = eps * (log_nu - _lse(jnp.swapaxes(m_op(f1, g), -1, -2), axis=-1)) + g
         g1 = jnp.where(nu > 0, g1, _NEG)
-        marg = jnp.exp(_lse(m_op(f1, g1), axis=-1))
-        err = jnp.mean(jnp.sum(jnp.abs(marg - mu), axis=-1))
-        return f1, g1, err, it + 1
+        # the marginal-error probe only drives the boolean freeze; it must
+        # carry no gradient (its exp can overflow, and 0*inf => NaN backward)
+        marg = jax.lax.stop_gradient(jnp.exp(_lse(m_op(f1, g1), axis=-1)))
+        err1 = jnp.mean(jnp.sum(jnp.abs(marg - jax.lax.stop_gradient(mu)), axis=-1))
+        done = err <= thresh  # freeze once converged (reference's early break)
+        f1 = jnp.where(done, f, f1)
+        g1 = jnp.where(done, g, g1)
+        err1 = jnp.where(done, err, err1)
+        return (f1, g1, err1), None
 
     f0 = jnp.zeros_like(mu)
     g0 = jnp.zeros_like(nu)
-    f, g, _, _ = jax.lax.while_loop(cond, body, (f0, g0, jnp.inf, 0))
+    (f, g, _), _ = jax.lax.scan(body, (f0, g0, jnp.inf), None, length=max_iters)
     pi = jnp.exp(m_op(f, g))
-    loss = jnp.mean(jnp.sum(pi * cost, axis=(-2, -1)))
+    per_row = jnp.sum(pi * cost, axis=(-2, -1))
+    w = _row_weights(mu, row_mask)
+    loss = jnp.sum(per_row * w) / jnp.maximum(jnp.sum(w), 1.0)
     return loss, pi

@@ -49,7 +49,8 @@ def shuffle_ties_argsort(
     """
     sign = -1.0 if descending else 1.0
     noise = jax.random.uniform(key, labels.shape)
-    primary = jnp.where(mask, sign * labels, -sign * PAD_SCORE)
+    # pads always sort LAST: the ascending sort needs them at +inf-like keys
+    primary = jnp.where(mask, sign * labels, -PAD_SCORE)
     # lexicographic: primary ascending, noise breaks ties
     _, _, order = jax.lax.sort(
         (primary, noise, jnp.broadcast_to(jnp.arange(labels.shape[-1]), labels.shape)),

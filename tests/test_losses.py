@@ -168,9 +168,9 @@ def test_sinkhorn_identity_transport_is_cheap():
 
     mu = jnp.array([[0.5, 0.3, 0.2]])
     cost = jnp.array([[[0.0, 5.0, 5.0], [5.0, 0.0, 5.0], [5.0, 5.0, 0.0]]])
-    d_same = sinkhorn_distance(mu, mu, cost, 0.05, 50)
+    d_same = sinkhorn_distance(mu, mu, cost, None, 0.05, 50)
     nu = jnp.array([[0.2, 0.3, 0.5]])
-    d_diff = sinkhorn_distance(mu, nu, cost, 0.05, 50)
+    d_diff = sinkhorn_distance(mu, nu, cost, None, 0.05, 50)
     assert d_same < d_diff
 
 
@@ -196,3 +196,56 @@ def test_grads_finite_with_degenerate_queries(model_id):
     assert bool(jnp.isfinite(v)), model_id
     assert bool(jnp.all(jnp.isfinite(jnp.where(mask, g, 0.0)))), model_id
     assert bool(jnp.all(jnp.where(mask, 0.0, g) == 0.0)), model_id
+
+
+def test_wassrank_entropic_ot_mode_is_differentiable():
+    """Regression: EntropicOT used lax.while_loop, which rejects reverse-mode
+    AD; the convergence-freeze scan must produce finite grads."""
+    scores, labels, mask = base_batch()
+
+    def f(s):
+        return call("WassRank", s, labels, mask, mode="EntropicOT", sh_itr=30)
+
+    g = jax.grad(f)(scores)
+    assert bool(jnp.all(jnp.isfinite(jnp.where(mask, g, 0.0))))
+
+
+def test_wassrank_padded_rows_do_not_dilute():
+    """All-padded remainder rows must not shrink the WassRank loss mean."""
+    scores, labels, mask = base_batch()
+    v1 = call("WassRank", scores, labels, mask)
+    pad_rows = jnp.zeros((3, scores.shape[1]))
+    v2 = call(
+        "WassRank",
+        jnp.concatenate([scores, pad_rows], axis=0),
+        jnp.concatenate([labels, pad_rows], axis=0),
+        jnp.concatenate([mask, jnp.zeros((3, scores.shape[1]), bool)], axis=0),
+    )
+    assert jnp.allclose(v1, v2, rtol=1e-5), (v1, v2)
+
+
+def test_lambda_loss1_weights_match_reference_formula():
+    """NDCG_Loss1 weights are n_gains * log2(r+2) (reference
+    ndcg_loss1_power_weights = n_gains / dists with dists = 1/log2(r+2))."""
+    import numpy as np
+
+    scores = jnp.asarray([[0.5, 2.0, 1.0, -0.3]])
+    labels = jnp.asarray([[3.0, 2.0, 1.0, 0.0]])
+    mask = jnp.ones((1, 4), bool)
+    ours = float(call("LambdaLoss", scores, labels, mask, loss_type="NDCG_Loss1", k=4))
+
+    # reference formula rebuilt in numpy on the same presorted inputs
+    s = np.asarray(scores[0])
+    desc = np.argsort(-s, kind="stable")
+    sorted_s, sorted_l = s[desc], np.asarray(labels[0])[desc]
+    disc = 1.0 / np.log2(np.arange(4) + 2.0)
+    idcg = np.sum((2.0 ** np.asarray(labels[0]) - 1.0) * disc)
+    n_gains = (2.0 ** sorted_l - 1.0) / idcg
+    w = n_gains / disc  # = n_gains * log2(r+2)
+    diffs = sorted_s[:, None] - sorted_s[None, :]
+    p = np.clip(1.0 / (1.0 + np.exp(-diffs)), 1e-8, None)
+    logp = np.log2(np.clip(p ** w[None, :], 1e-8, None))
+    # reference Loss1 selects the FULL k x k block (lambdaloss.py:130:
+    # log_weighted_probas[trunc_mask], no pair filter, diagonal included)
+    ref = -np.sum(logp)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4)

@@ -143,3 +143,39 @@ def test_smooth_objectives_prefer_better_rankings():
         lg = float(fn(good_ranks, labels, mask))
         lb = float(fn(bad_ranks, labels, mask))
         assert lg < lb, (name, lg, lb)
+
+
+# --- smooth metric-as-objective regressions (metrics/smooth.py) ---------------
+
+
+def test_nerr_objective_penalizes_inverted_ranking():
+    """Regression: with opt_ideal=False the ideal ERR must come from the
+    PRESORTED labels, not the resorted ones — otherwise a fully inverted
+    prediction scores 'perfect'."""
+    import jax.numpy as jnp
+
+    from ptranking_tpu.metrics.smooth import nerr_as_objective
+
+    labels = jnp.asarray([[2.0, 1.0, 0.0]])
+    mask = jnp.ones((1, 3), bool)
+    ideal_ranks = jnp.asarray([[1.0, 2.0, 3.0]])
+    inverted_ranks = jnp.asarray([[3.0, 2.0, 1.0]])
+    good = -float(nerr_as_objective(ideal_ranks, labels, mask, opt_ideal=False))
+    bad = -float(nerr_as_objective(inverted_ranks, labels, mask, opt_ideal=False))
+    assert good > bad, (good, bad)
+    assert abs(good - 1.0) < 1e-5   # perfect prediction -> nERR 1
+    assert bad < 0.99               # inverted must NOT look perfect
+
+
+def test_ap_objective_adopted_formulation():
+    """opt_ideal=True uses the reference's ADOPTED AP formulation
+    (metric_as_opt_objective.py:88-92): perfect smooth ranks give AP=1."""
+    import jax.numpy as jnp
+
+    from ptranking_tpu.metrics.smooth import ap_as_objective
+
+    labels = jnp.asarray([[1.0, 0.0, 1.0]])
+    mask = jnp.ones((1, 3), bool)
+    natural = jnp.asarray([[1.0, 2.0, 3.0]])
+    ap = -float(ap_as_objective(natural, labels, mask, opt_ideal=True))
+    assert abs(ap - 1.0) < 1e-5, ap

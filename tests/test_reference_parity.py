@@ -416,7 +416,7 @@ def test_sinkhorn_ot_parity():
 
     cost_b = jnp.broadcast_to(jnp.asarray(cost, jnp.float32), (B, N, N))
     f = lambda m: sinkhorn_distance(m, jnp.asarray(nu, jnp.float32), cost_b,
-                                    lam, iters)
+                                    None, lam, iters)
     ours_val = float(f(jnp.asarray(mu, jnp.float32)))
     ours_grad = np.asarray(jax.grad(f)(jnp.asarray(mu, jnp.float32)))
 
