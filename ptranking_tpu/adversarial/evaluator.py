@@ -94,8 +94,8 @@ class AdLTREvaluator:
 
             if train_qs is not None:
                 train_ds = BucketedDataset(train_qs, batch_docs=batch_docs, num_features=meta.num_features)
-                vali_ds = BucketedDataset(vali_qs, batch_docs=2048, num_features=meta.num_features)
-                test_ds = BucketedDataset(test_qs, batch_docs=2048, num_features=meta.num_features)
+                vali_ds = BucketedDataset(vali_qs, batch_docs=100, num_features=meta.num_features)
+                test_ds = BucketedDataset(test_qs, batch_docs=100, num_features=meta.num_features)
 
             machine = self.get_ad_machine(model_id, sf_para, paras, seed=137 + fold_k)
             machine.fill_global_buffer(train_ds.batches())

@@ -27,6 +27,11 @@ from ptranking_tpu.adversarial.util import (
     get_f_divergence_functions,
     sample_categorical_masked,
     sample_uniform_positions,
+    gather_subrankings,
+    sample_pl_rankings,
+    shuffled_truth_rankings,
+    subranking_masks,
+    weighted_mean,
 )
 from ptranking_tpu.models import apply_scorer
 from ptranking_tpu.ops import masked_softmax
@@ -94,7 +99,11 @@ class IRFGAN_Point(AdversarialMachine):
                 neg_idx = sample_categorical_masked(key, g_scores, mask, S, replacement=False)
                 gp = jnp.take_along_axis(g_probs, neg_idx, axis=1)
                 fake_docs = _gather_docs(features, neg_idx)
-                smask = jnp.broadcast_to(valid_q[:, None], (B, S))
+                # without-replacement sampling can exhaust a short list: the
+                # Gumbel-top-k tail then points at pad docs (reference caps at
+                # valid_num per query, irfgan_point.py:192) — mask them out
+                picked_real = jnp.take_along_axis(mask, neg_idx, axis=1)
+                smask = jnp.broadcast_to(valid_q[:, None], (B, S)) & picked_real
                 t_fake = apply_scorer(d_params, d.scorer_cfg, fake_docs, smask, training=False)
                 reward = jax.lax.stop_gradient(conj(act(t_fake)))
                 terms = jnp.log(jnp.maximum(gp, 1e-20)) * reward
@@ -231,10 +240,10 @@ class IRFGAN_List(AdversarialMachine):
         self.ad_training_order = ad_para_dict.get("ad_training_order", "DG")
         self.generator, self.discriminator = make_players(sf_para, self.temperature, seed)
         self._key = jax.random.PRNGKey(seed + 23)
-        from ptranking_tpu.adversarial.irgan import IRGAN_List
-
-        self._sample_rankings = IRGAN_List._sample_rankings.__get__(self)
         self._build()
+
+    def _sample_rankings(self, key, scores, mask, S, k):
+        return sample_pl_rankings(key, scores, mask, S, k, self.temperature)
 
     def _build(self):
         from ptranking_tpu.adversarial.util import log_ranking_prob_pl
@@ -245,34 +254,23 @@ class IRFGAN_List(AdversarialMachine):
         g_opt, d_opt = g._optimizer, d._optimizer
         _GUM = 1e-20
 
-        def gather_rankings(features, order):
-            B, Ssz, ksz = order.shape
-            flat = jnp.take_along_axis(
-                features[:, None].repeat(Ssz, 1), order[..., None], axis=2)
-            return flat.reshape(B * Ssz, ksz, -1)
-
-        def shuffled_truth(key, labels, mask, S, k):
-            B, N = labels.shape
-            unif = jax.random.uniform(key, (B, S, N))
-            skey = jnp.where(mask[:, None, :], labels[:, None, :], -1e9)
-            return jnp.argsort(-(skey + 1e-3 * unif), axis=-1)[..., :k]
-
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def d_step(d_params, d_opt_state, g_params, key, features, labels, mask):
             B, N, F = features.shape
             k_g, k_t = jax.random.split(key)
             g_scores = g.predict_scaled(g_params, features, mask)
             gen_order, _ = self._sample_rankings(k_g, g_scores, mask, S, k)
-            std_order = shuffled_truth(k_t, labels, mask, S, k)
-            gen_docs, std_docs = gather_rankings(features, gen_order), gather_rankings(features, std_order)
-            sub_mask = jnp.ones((B * S, k), bool)
+            std_order = shuffled_truth_rankings(k_t, labels, mask, S, k)
+            gen_docs = gather_subrankings(features, gen_order)
+            std_docs = gather_subrankings(features, std_order)
+            sub_mask, w = subranking_masks(mask, S, k)
 
             def loss_of(p):
                 lp_gen = log_ranking_prob_pl(
                     apply_scorer(p, d.scorer_cfg, gen_docs, sub_mask, training=True), sub_mask)
                 lp_std = log_ranking_prob_pl(
                     apply_scorer(p, d.scorer_cfg, std_docs, sub_mask, training=True), sub_mask)
-                return jnp.mean(conj(act(lp_gen))) - jnp.mean(act(lp_std))
+                return weighted_mean(conj(act(lp_gen)), w) - weighted_mean(act(lp_std), w)
 
             loss, grads = jax.value_and_grad(loss_of)(d_params)
             updates, d_opt_state = d_opt.update(grads, d_opt_state, d_params)
@@ -288,14 +286,14 @@ class IRFGAN_List(AdversarialMachine):
                 if g.temperature not in (None, 1.0):
                     gs = gs / g.temperature
                 order, top_probs = self._sample_rankings(key, gs, mask, S, k)
-                sub_mask = jnp.ones((B * S, k), bool)
+                sub_mask, w = subranking_masks(mask, S, k)
                 lp_g = log_ranking_prob_pl(
                     jnp.log(jnp.maximum(top_probs.reshape(B * S, k), _GUM)), sub_mask)
                 d_sorted = jnp.take_along_axis(
                     d_scores_full[:, None, :].repeat(S, 1), order, axis=-1).reshape(B * S, k)
                 lp_d = log_ranking_prob_pl(d_sorted, sub_mask)
                 reward = jax.lax.stop_gradient(conj(act(lp_d)))
-                return -jnp.mean(lp_g * reward)
+                return -weighted_mean(lp_g * reward, w)
 
             loss, grads = jax.value_and_grad(loss_of)(g_params)
             updates, g_opt_state = g_opt.update(grads, g_opt_state, g_params)

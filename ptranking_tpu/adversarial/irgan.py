@@ -31,6 +31,11 @@ import jax.numpy as jnp
 from ptranking_tpu import PAD_SCORE
 from ptranking_tpu.adversarial.base import AdversarialMachine, AdversarialPlayer
 from ptranking_tpu.adversarial.util import (
+    gather_subrankings,
+    sample_pl_rankings,
+    shuffled_truth_rankings,
+    subranking_masks,
+    weighted_mean,
     log_ranking_prob_bt,
     log_ranking_prob_pl,
     sample_categorical_masked,
@@ -291,26 +296,16 @@ class IRGAN_List(AdversarialMachine):
         self.g_epoches = ad_para_dict.get("g_epoches", 1)
         self.ad_training_order = ad_para_dict.get("ad_training_order", "DG")
         self.PL_discriminator = ad_para_dict.get("PL_D", True)
-        self.replace_trick_4_discriminator = ad_para_dict.get("repTrick_D", True)
+        # reference hard-codes False ("False is a must", irgan_list.py:127)
+        self.replace_trick_4_discriminator = ad_para_dict.get("repTrick_D", False)
         self.replace_trick_4_generator = ad_para_dict.get("repTrick_G", False)
-        self.drop_log = ad_para_dict.get("dropLog", False)
+        self.drop_log = ad_para_dict.get("dropLog", True)  # reference default
         self.generator, self.discriminator = make_players(sf_para, self.temperature, seed)
         self._key = jax.random.PRNGKey(seed + 13)
         self._build()
 
     def _sample_rankings(self, key, scores, mask, S, k):
-        """Gumbel-softmax PL sampling: [B, N] -> (top-k indices [B, S, k],
-        top-k noisy probs [B, S, k]) (reference gumbel_softmax,
-        list_sampling.py:16-36 + sort)."""
-        B, N = scores.shape
-        unif = jax.random.uniform(key, (B, S, N))
-        gumbel = -jnp.log(-jnp.log(unif + _GUMBEL_EPS) + _GUMBEL_EPS)
-        noisy = (scores[:, None, :] + gumbel) / self.temperature
-        noisy = jnp.where(mask[:, None, :], noisy, PAD_SCORE)
-        probs = jax.nn.softmax(noisy, axis=-1)
-        order = jnp.argsort(-noisy, axis=-1)[..., :k]  # [B, S, k]
-        top_probs = jnp.take_along_axis(probs, order, axis=-1)
-        return order, top_probs
+        return sample_pl_rankings(key, scores, mask, S, k, self.temperature)
 
     def _build(self):
         g, d = self.generator, self.discriminator
@@ -319,32 +314,18 @@ class IRGAN_List(AdversarialMachine):
         g_opt, d_opt = g._optimizer, d._optimizer
         log_prob = log_ranking_prob_pl if pl_d else log_ranking_prob_bt
 
-        def gather_rankings(features, order):
-            """[B, N, F] + [B, S, k] -> [B*S, k, F]."""
-            B, Ssz, ksz = order.shape
-            flat = jnp.take_along_axis(
-                features[:, None].repeat(Ssz, 1), order[..., None], axis=2)
-            return flat.reshape(B * Ssz, ksz, -1)
-
-        def shuffled_truth(key, labels, mask, S, k):
-            """per-sample tie-shuffled truth top-k indices [B, S, k]."""
-            B, N = labels.shape
-            unif = jax.random.uniform(key, (B, S, N))
-            skey = jnp.where(mask[:, None, :], labels[:, None, :] + 0.0, PAD_SCORE)
-            # stable sort on (label desc, noise) == shuffle ties
-            noisy = skey + 1e-3 * unif
-            return jnp.argsort(-noisy, axis=-1)[..., :k]
-
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def d_step(d_params, d_opt_state, g_params, key, features, labels, mask):
             B, N, F = features.shape
             k_g, k_t = jax.random.split(key)
             g_scores = g.predict_scaled(g_params, features, mask)
             gen_order, _ = self._sample_rankings(k_g, g_scores, mask, S, k)
-            std_order = shuffled_truth(k_t, labels, mask, S, k)
-            gen_docs = gather_rankings(features, gen_order)
-            std_docs = gather_rankings(features, std_order)
-            sub_mask = jnp.ones((B * S, k), bool)
+            std_order = shuffled_truth_rankings(k_t, labels, mask, S, k)
+            gen_docs = gather_subrankings(features, gen_order)
+            std_docs = gather_subrankings(features, std_order)
+            # short lists cannot fill top-k, and all-padded remainder queries
+            # of bucketed batches must not train D at all
+            sub_mask, w = subranking_masks(mask, S, k)
 
             def loss_of(p):
                 d_gen = apply_scorer(p, d.scorer_cfg, gen_docs, sub_mask, training=True)
@@ -352,9 +333,10 @@ class IRGAN_List(AdversarialMachine):
                 lp_gen = log_prob(d_gen, sub_mask)
                 lp_std = log_prob(d_std, sub_mask)
                 if self.replace_trick_4_discriminator:
-                    return jnp.mean(lp_gen - lp_std)
+                    return weighted_mean(lp_gen - lp_std, w)
                 # reference's "standard CE" (irgan_list.py:336-338) — faithful quirk:
-                return -(jnp.mean(lp_std) + jnp.mean(jnp.log(jnp.maximum(1.0 - lp_gen, 1e-20))))
+                return -(weighted_mean(lp_std, w)
+                         + weighted_mean(jnp.log(jnp.maximum(1.0 - lp_gen, 1e-20)), w))
 
             loss, grads = jax.value_and_grad(loss_of)(d_params)
             updates, d_opt_state = d_opt.update(grads, d_opt_state, d_params)
@@ -370,7 +352,7 @@ class IRGAN_List(AdversarialMachine):
                 if g.temperature not in (None, 1.0):
                     g_scores = g_scores / g.temperature
                 order, top_probs = self._sample_rankings(key, g_scores, mask, S, k)
-                sub_mask = jnp.ones((B * S, k), bool)
+                sub_mask, w = subranking_masks(mask, S, k)
                 lp_g = log_ranking_prob_pl(
                     jnp.log(jnp.maximum(top_probs.reshape(B * S, k), 1e-20)), sub_mask)
                 d_sorted = jnp.take_along_axis(
@@ -382,7 +364,7 @@ class IRGAN_List(AdversarialMachine):
                     reward = (jnp.exp(1.0 - lp_d) if self.drop_log
                               else jnp.log(jnp.maximum(1.0 - lp_d, 1e-20)))
                 reward = jax.lax.stop_gradient(reward)
-                return jnp.mean(lp_g * reward)
+                return weighted_mean(lp_g * reward, w)
 
             loss, grads = jax.value_and_grad(loss_of)(g_params)
             updates, g_opt_state = g_opt.update(grads, g_opt_state, g_params)

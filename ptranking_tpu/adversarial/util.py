@@ -98,3 +98,59 @@ def get_f_divergence_functions(f_div_str: str) -> Tuple[Callable, Callable]:
 
 
 F_DIVERGENCES = ["TVar", "KL", "RKL", "PC", "NC", "SH", "JS", "JSW", "GAN"]
+
+
+# --- listwise sampling helpers shared by IRGAN_List / IRFGAN_List -------------
+
+
+def sample_pl_rankings(key: jax.Array, scores: jnp.ndarray, mask: jnp.ndarray,
+                       S: int, k: int, temperature: float
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gumbel-softmax PL sampling: [B, N] -> (top-k indices [B, S, k],
+    top-k noisy probs [B, S, k]) (reference gumbel_softmax,
+    list_sampling.py:16-36 + sort)."""
+    B, N = scores.shape
+    unif = jax.random.uniform(key, (B, S, N))
+    gumbel = -jnp.log(-jnp.log(unif + _EPS) + _EPS)
+    noisy = (scores[:, None, :] + gumbel) / temperature
+    noisy = jnp.where(mask[:, None, :], noisy, PAD_SCORE)
+    probs = jax.nn.softmax(noisy, axis=-1)
+    order = jnp.argsort(-noisy, axis=-1)[..., :k]  # [B, S, k]
+    top_probs = jnp.take_along_axis(probs, order, axis=-1)
+    return order, top_probs
+
+
+def gather_subrankings(features: jnp.ndarray, order: jnp.ndarray) -> jnp.ndarray:
+    """[B, N, F] + [B, S, k] -> [B*S, k, F]."""
+    B, Ssz, ksz = order.shape
+    flat = jnp.take_along_axis(
+        features[:, None].repeat(Ssz, 1), order[..., None], axis=2)
+    return flat.reshape(B * Ssz, ksz, -1)
+
+
+def shuffled_truth_rankings(key: jax.Array, labels: jnp.ndarray,
+                            mask: jnp.ndarray, S: int, k: int) -> jnp.ndarray:
+    """Per-sample tie-shuffled truth top-k indices [B, S, k]."""
+    B, N = labels.shape
+    unif = jax.random.uniform(key, (B, S, N))
+    skey = jnp.where(mask[:, None, :], labels[:, None, :] + 0.0, PAD_SCORE)
+    noisy = skey + 1e-3 * unif  # stable label-desc sort + tie shuffle
+    return jnp.argsort(-noisy, axis=-1)[..., :k]
+
+
+def subranking_masks(mask: jnp.ndarray, S: int, k: int
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(sub_mask [B*S, k], row_weight [B*S]) for top-k sub-rankings.
+
+    sub_mask marks positions beyond a query's real doc count as pads (a
+    short list cannot fill its top-k), and row_weight zeroes all-padded
+    remainder queries of bucketed batches so they never train G or D."""
+    n_valid = jnp.sum(mask, axis=-1)  # [B]
+    sub = jnp.arange(k)[None, :] < jnp.minimum(n_valid, k)[:, None]  # [B, k]
+    sub_mask = jnp.repeat(sub, S, axis=0)  # row-major match for reshape(B*S, ...)
+    w = jnp.repeat((n_valid > 0).astype(jnp.float32), S, axis=0)
+    return sub_mask, w
+
+
+def weighted_mean(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sum(x * w) / jnp.maximum(jnp.sum(w), 1.0)

@@ -181,8 +181,9 @@ class DivBucketedDataset:
                     rele[i, :s, :n] = q.rele_mat
                     dmask[i, :n] = True
                     smask[i, :s] = True
-                yield DivBatch(q_repr, doc_reprs, rele, dmask, smask,
-                               np.arange(nb, dtype=np.int32))
+                qids = np.full((B,), -1, np.int32)  # pad rows marked -1
+                qids[:nb] = idx[lo:lo + nb]  # index into this bucket's items
+                yield DivBatch(q_repr, doc_reprs, rele, dmask, smask, qids)
 
     def __len__(self):
         return sum(math.ceil(len(v) / self.batch_queries) for v in self._by_bucket.values() if v)

@@ -146,7 +146,12 @@ class DivLTREvaluator:
                 ranker.train_epoch(train.batches(shuffle=True, epoch=epoch_k), epoch_k)
                 v = ranker.validation(vali.batches(), k=vali_k)
                 tape.epoch_validation(epoch_k, v, ranker)
-            ranker.load(tape.get_optimal_path())
+            opt_path = tape.get_optimal_path()
+            if os.path.exists(opt_path):
+                ranker.load(opt_path)
+            else:
+                print("  [warn] no validation checkpoint was saved; "
+                      "evaluating the final-epoch params")
             tape.clear_fold_buffer()
             m = ranker.evaluate(test.batches(), ks=cutoffs)
             fold_metrics.append(m)

@@ -15,7 +15,6 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ptranking_tpu.losses.pairwise import _pair_bce_from_logits
 from ptranking_tpu.metrics.srd import delta_alpha_dcg
 from ptranking_tpu.ops import robust_sigmoid
 from ptranking_tpu.diversification.scorers import expected_ranks

@@ -118,15 +118,18 @@ class DivRanker:
 
     def train_epoch(self, batches: Iterable[DivBatch], epoch_k: int = 1):
         self.opt_state = set_lr(self.opt_state, epoch_lr(self.opt_cfg, epoch_k))
-        total, n = 0.0, 0
+        losses, n = [], 0
         for b in batches:
             self._key, sub = jax.random.split(self._key)
             self.params, self.opt_state, loss = self._step(
                 self.params, self.opt_state, sub,
                 jnp.asarray(b.q_repr), jnp.asarray(b.doc_reprs),
                 jnp.asarray(b.rele_mat), jnp.asarray(b.doc_mask))
-            total += float(loss)
+            losses.append(loss)  # device-side; one sync at epoch end
             n += int(b.doc_mask.any(axis=-1).sum())
+        total = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
+        if not np.isfinite(total):  # NaN stop guard (stop_training parity)
+            return float("nan"), True
         return total / max(n, 1), False
 
     def predict(self, batch: DivBatch):

@@ -148,6 +148,9 @@ class LTREvaluator:
         fold_num = data_dict["fold_num"]
         epochs = eval_dict["epochs"]
         do_vali = eval_dict["do_validation"]
+        # reference guard (ltr.py:74-75): Istella ships no validation split
+        assert not (data_dict["data_id"] == "Istella" and do_vali), \
+            "Istella has no validation split: set do_validation=False"
         cutoffs = eval_dict["cutoffs"]
         dir_run = self.setup_output(data_dict, eval_dict)
 
@@ -195,7 +198,14 @@ class LTREvaluator:
                     break
 
             if do_vali:
-                ranker.load(vali_tape.get_optimal_path())
+                opt_path = vali_tape.get_optimal_path()
+                if os.path.exists(opt_path):
+                    ranker.load(opt_path)
+                else:
+                    # no epoch ever improved validation (e.g. NaN scores from
+                    # epoch 1): keep the current params instead of crashing
+                    print("  [warn] no validation checkpoint was saved; "
+                          "evaluating the final-epoch params")
                 vali_tape.clear_fold_buffer()
             else:
                 ranker.save(os.path.join(dir_run, f"Fold-{fold_k}", "net_params_latest.pkl"))
