@@ -24,6 +24,9 @@
 //    ratio (alpha-nDCG, nERR-IA) cancels the ideal-ideal factor where present.
 //  * the greedy ideal ranking breaks score ties toward the lexicographically
 //    LARGER docno.
+//  * nNRBP = NRBP / ideal NRBP with NO zero guard: a judged topic whose qrels
+//    carry only judgment-0 lines yields 0/0 = NaN in its row and in the
+//    amean, exactly as the original does.
 //  * topics present in the run but absent from the qrels are printed with
 //    all-zero rows; the arithmetic mean divides by the number of judged
 //    topics (or all qrels topics with -c).

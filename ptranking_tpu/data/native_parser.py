@@ -29,21 +29,15 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     with _LOCK:
         if _LIB is not None or _LIB_FAILED:
             return _LIB
+        from ptranking_tpu.utils.native_build import build_native
+
         src = os.path.join(_NATIVE_DIR, "letor_parser.cpp")
         out = os.path.join(_NATIVE_DIR, "build", "libletor_parser.so")
         try:
-            if not os.path.exists(src):
-                raise FileNotFoundError(src)
-            if not os.path.exists(out) or os.path.getmtime(out) < os.path.getmtime(src):
-                cxx = shutil.which("g++") or shutil.which("c++") or shutil.which("clang++")
-                if cxx is None:
-                    raise RuntimeError("no C++ compiler")
-                os.makedirs(os.path.dirname(out), exist_ok=True)
-                subprocess.run(
-                    [cxx, "-O3", "-std=c++17", "-shared", "-fPIC", "-o", out, src],
-                    check=True, capture_output=True,
-                )
-            lib = ctypes.CDLL(out)
+            built = build_native(src, out, extra_flags=["-shared", "-fPIC"])
+            if built is None:
+                raise RuntimeError("no C++ compiler or missing source")
+            lib = ctypes.CDLL(built)
             lib.letor_parse.restype = ctypes.c_void_p
             lib.letor_parse.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
             lib.letor_dims.argtypes = [

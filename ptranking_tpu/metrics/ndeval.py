@@ -14,7 +14,6 @@ from __future__ import annotations
 import csv
 import io
 import os
-import shutil
 import subprocess
 from typing import Dict, List, Optional, Sequence
 
@@ -22,25 +21,14 @@ _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 
 
 def ndeval_binary(rebuild: bool = False) -> Optional[str]:
-    """Path to the compiled ndeval binary, building it with g++/make if
-    needed. Returns None when no C++ toolchain is available."""
+    """Path to the compiled ndeval binary, building it on demand (atomic,
+    lock-guarded — see utils/native_build.py). None without a toolchain."""
+    from ptranking_tpu.utils.native_build import build_native
+
     native = os.path.abspath(_NATIVE_DIR)
-    out = os.path.join(native, "build", "ndeval")
-    src = os.path.join(native, "ndeval.cpp")
-    if not os.path.exists(src):
-        return None
-    if rebuild or not os.path.exists(out) or (
-        os.path.getmtime(out) < os.path.getmtime(src)
-    ):
-        cxx = shutil.which("g++") or shutil.which("c++") or shutil.which("clang++")
-        if cxx is None:
-            return None
-        os.makedirs(os.path.dirname(out), exist_ok=True)
-        subprocess.run(
-            [cxx, "-O2", "-std=c++17", "-o", out, src],
-            check=True, capture_output=True,
-        )
-    return out
+    return build_native(os.path.join(native, "ndeval.cpp"),
+                        os.path.join(native, "build", "ndeval"),
+                        rebuild=rebuild)
 
 
 def run_ndeval(qrels_path: str, run_path: str, alpha: float = 0.5,

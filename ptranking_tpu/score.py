@@ -24,12 +24,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-out", dest="out_path", required=True, help="TREC run file to write")
     p.add_argument("-data", dest="data_id", default="GLTR_LETOR")
     p.add_argument("-runid", default="ptranking_tpu")
-    p.add_argument("-batch_docs", type=int, default=4096)
+    # ~100-doc batches: BN scorers normalize with BATCH statistics, so
+    # serving must mirror the ~100-doc eval batches training validated
+    p.add_argument("-batch_docs", type=int, default=100)
     return p
 
 
 def score_file(ckpt: str, in_path: str, out_path: str, data_id: str = "GLTR_LETOR",
-               runid: str = "ptranking_tpu", batch_docs: int = 4096) -> int:
+               runid: str = "ptranking_tpu", batch_docs: int = 100) -> int:
     from ptranking_tpu.data.dataset import BucketedDataset
     from ptranking_tpu.data.letor import load_letor_file
     from ptranking_tpu.train import AdhocRanker
@@ -38,6 +40,7 @@ def score_file(ckpt: str, in_path: str, out_path: str, data_id: str = "GLTR_LETO
     queries = load_letor_file(in_path, data_id=data_id, min_docs=1, min_rele=0,
                               presort=False)
     ds = BucketedDataset(queries, batch_docs=batch_docs)
+    docids = _docids_by_qid(in_path, data_id)  # real docids when the file has comments
     rows = 0
     with open(out_path, "w") as f:
         for batch in ds.batches():
@@ -49,11 +52,35 @@ def score_file(ckpt: str, in_path: str, out_path: str, data_id: str = "GLTR_LETO
                 n = int(mask[i].sum())
                 order = np.argsort(-scores[i, :n], kind="stable")
                 qid = _qid_for(ds, batch, i)
+                ids = docids.get(qid)
                 for rank, j in enumerate(order, start=1):
-                    f.write(f"{qid} Q0 {qid}-d{j} {rank} "
+                    docid = ids[j] if ids is not None else f"{qid}-d{j}"
+                    f.write(f"{qid} Q0 {docid} {rank} "
                             f"{scores[i, j]:.6f} {runid}\n")
                     rows += 1
     return rows
+
+
+def _docids_by_qid(in_path: str, data_id: str):
+    """Real docids from LETOR '#docid = X' comments, grouped per qid in file
+    order (matching the un-presorted per-query doc order); {} without
+    comments."""
+    from ptranking_tpu.data.letor import YAHOO_LTR, parse_letor_lines
+    from ptranking_tpu.data.meta import get_data_meta
+
+    try:
+        has_comment = get_data_meta(data_id).has_comment
+    except NotImplementedError:
+        has_comment = False
+    if not has_comment:
+        return {}
+    with open(in_path, encoding="iso-8859-1") as f:
+        parsed = parse_letor_lines(f, has_comment=True,
+                                   one_indexed=data_id not in YAHOO_LTR)
+    out = {}
+    for qid, docid in zip(parsed[2], parsed[3]):
+        out.setdefault(qid, []).append(docid)
+    return out
 
 
 def _qid_for(ds, batch, i):

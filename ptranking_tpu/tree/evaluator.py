@@ -99,5 +99,7 @@ class TreeLTREvaluator:
                   + ", ".join(f"@{k}:{v:.4f}" for k, v in zip(cutoffs, m["nDCG"])))
         cv = {k: np.mean(np.stack([m[k] for m in fold_results]), axis=0)
               for k in fold_results[0]}
-        print(f"\n{model_id} {fold_num}-fold CV nDCG@5: {cv['nDCG'][2]:.4f}")
+        k_rep = 5 if 5 in cutoffs else cutoffs[0]
+        print(f"\n{model_id} {fold_num}-fold CV nDCG@{k_rep}: "
+              f"{cv['nDCG'][list(cutoffs).index(k_rep)]:.4f}")
         return cv

@@ -87,7 +87,21 @@ def grow_tree(
     everything goes left) so shapes stay static."""
     n, F = bins.shape
     node = jnp.zeros((n,), jnp.int32)  # current heap index per doc
-    feat_idx = jnp.arange(F, dtype=jnp.int32)
+
+    # feature-block size for histogram building: transient memory per level is
+    # O(n * FB * 3) instead of O(n * F * 3) — at MSLR scale (n ~ 2.4M, F=136)
+    # the full-F broadcast would allocate multi-GB per level
+    FB = min(F, 8)
+    nb_blocks = -(-F // FB)
+    F_pad = nb_blocks * FB
+    bins_T = jnp.swapaxes(bins, 0, 1)  # [F, n]
+    if F_pad != F:
+        # padded fake features put every doc in bin 0 -> zero split gain,
+        # never selected over the no-op split
+        bins_T = jnp.pad(bins_T, [(0, F_pad - F), (0, 0)])
+    bins_blocks = bins_T.reshape(nb_blocks, FB, n)
+    fb_idx = jnp.arange(FB, dtype=jnp.int32)
+    gh = jnp.stack([grad, hess], axis=-1)  # [n, 2]
 
     split_feats: List[jnp.ndarray] = []
     split_bins: List[jnp.ndarray] = []
@@ -97,14 +111,18 @@ def grow_tree(
         first = num_nodes - 1
         local = node - first  # [n], in [0, num_nodes)
 
-        # (node, feature, bin) histograms via one segment-sum over n*F items
-        seg = (local[:, None] * (F * num_bins)
-               + feat_idx[None, :] * num_bins + bins).ravel()
-        gh = jnp.stack(
-            [jnp.broadcast_to(grad[:, None], (n, F)).ravel(),
-             jnp.broadcast_to(hess[:, None], (n, F)).ravel()], axis=-1)
-        hist = jax.ops.segment_sum(gh, seg, num_segments=num_nodes * F * num_bins)
-        hist = hist.reshape(num_nodes, F, num_bins, 2)
+        def block_hist(_, blk):  # blk: [FB, n] bins of one feature block
+            seg = (local[None, :] * (FB * num_bins)
+                   + fb_idx[:, None] * num_bins + blk)       # [FB, n]
+            data = jnp.broadcast_to(gh[None], (FB, n, 2)).reshape(FB * n, 2)
+            h = jax.ops.segment_sum(data, seg.ravel(),
+                                    num_segments=num_nodes * FB * num_bins)
+            return None, h.reshape(num_nodes, FB, num_bins, 2)
+
+        _, hist_blocks = jax.lax.scan(block_hist, None, bins_blocks)
+        # [nb, nodes, FB, bins, 2] -> [nodes, F, bins, 2]
+        hist = jnp.moveaxis(hist_blocks, 0, 1).reshape(
+            num_nodes, F_pad, num_bins, 2)[:, :F]
 
         cum = jnp.cumsum(hist, axis=2)                       # left sums per bin
         total = cum[:, :1, -1:, :]                           # [nodes,1,1,2]
@@ -201,8 +219,22 @@ class GBDTConfig:
         import math
 
         paras = dict(paras or {})
+        # the reference nests LightGBM keys under lightgbm_para_dict and the
+        # custom-objective switches under custom_dict — flatten both
+        paras.update(paras.pop("lightgbm_para_dict", {}) or {})
+        custom = paras.pop("custom_dict", {}) or {}
+        if custom.get("custom") and custom.get("custom_obj_id"):
+            paras.setdefault("objective", custom["custom_obj_id"])
         if "num_leaves" in paras and "max_depth" not in paras:
             paras["max_depth"] = max(2, math.ceil(math.log2(max(paras.pop("num_leaves"), 2))))
+        if "num_trees" not in paras and "num_iterations" in paras:
+            paras["num_trees"] = paras.pop("num_iterations")
+        # Newton leaves need all-positive hessians: map the reference-quirk
+        # signed-hessian objectives onto their Newton-safe equivalent
+        if paras.get("objective") in ("lambdarank", "ranknet"):
+            print(f" [gbdt] objective {paras['objective']!r} uses the reference's "
+                  "signed pair hessian; using 'lambdarank_newton' for Newton leaves")
+            paras["objective"] = "lambdarank_newton"
         known = {f.name for f in dataclasses.fields(cls)}
         dropped = sorted(set(paras) - known)
         if dropped:
@@ -228,6 +260,11 @@ class TPUGBDTRanker:
             vali: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None,
             verbose: bool = False) -> "TPUGBDTRanker":
         cfg = self.cfg
+        if cfg.objective in ("lambdarank", "ranknet"):
+            raise ValueError(
+                f"objective {cfg.objective!r} keeps the reference's signed pair "
+                "hessian, which breaks the Newton leaf -G/(H+l2); use "
+                "'lambdarank_newton' (GBDTConfig.from_paras maps it automatically)")
         objective = CUSTOM_OBJECTIVES[cfg.objective][0]  # (plain, lgbm-fobj) pair
         data = np.asarray(data, np.float64)
         target = np.asarray(target, np.float64)
