@@ -167,6 +167,7 @@ def encoder_apply(
         return keys[i] if keys is not None else None
 
     def one_layer(layer, x, k0, k1, k2, k3):
+        """Apply ONE encoder layer (shared by the unrolled and scan paths)."""
         if encoder_type == "AllRank":
             h = layer_norm_apply(layer["ln1"], x)
             h = mhsa_apply(layer["mhsa"], h, mask, n_heads, drop_rate, training, k0, attn_block_size)
