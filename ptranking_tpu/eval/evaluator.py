@@ -166,7 +166,7 @@ class LTREvaluator:
             train, test, vali = self.load_data(eval_dict, data_dict, fold_k)
             vali_tape = (ValidationTape(fold_k, epochs, eval_dict["vali_metric"],
                                         eval_dict["vali_k"], dir_run) if do_vali else None)
-            summary_tape = (SummaryTape(do_vali, cutoffs, dir_run, fold_k)
+            summary_tape = (SummaryTape(do_vali, dir_run, fold_k)
                             if eval_dict.get("do_summary") else None)
             loss_tape = OptLossTape() if eval_dict.get("loss_guided") else None
 

@@ -19,6 +19,12 @@ from ptranking_tpu.models import ScorerConfig
 from ptranking_tpu.train.optimizer import OptimizerConfig
 
 
+def _as_list(v):
+    """JSON grid axes may arrive as scalars; normalize to a 1-element list
+    (a bare string must NOT iterate per character)."""
+    return v if isinstance(v, list) else [v]
+
+
 def _first(v):
     return v[0] if isinstance(v, list) else v
 
@@ -85,15 +91,20 @@ class DataSetting:
     def grid_search(self) -> Iterator[Dict[str, Any]]:
         j = self.json_dict
         choices = dict(
-            min_docs=j.get("min_docs", [10]),
-            min_rele=j.get("min_rele", [1]),
-            binary_rele=j.get("binary_rele", [False]),
-            unknown_as_zero=j.get("unknown_as_zero", [False]),
-            tr_batch_size=j.get("tr_batch_size", [100]),
+            min_docs=_as_list(j.get("min_docs", [10])),
+            min_rele=_as_list(j.get("min_rele", [1])),
+            binary_rele=_as_list(j.get("binary_rele", [False])),
+            unknown_as_zero=_as_list(j.get("unknown_as_zero", [False])),
+            tr_batch_size=_as_list(j.get("tr_batch_size", [100])),
+        )
+        passthrough = dict(
+            validation_rough_batch_size=_first(j.get("validation_rough_batch_size", 100)),
+            test_rough_batch_size=_first(j.get("test_rough_batch_size", 100)),
         )
         keys = list(choices)
-        for combo in itertools.product(*(choices[k] if isinstance(choices[k], list) else [choices[k]] for k in keys)):
+        for combo in itertools.product(*(choices[k] for k in keys)):
             d = self._base()
+            d.update(passthrough)
             d.update(dict(zip(keys, combo)))
             self.data_dict = d
             yield d
@@ -156,19 +167,21 @@ class EvalSetting:
     def grid_search(self) -> Iterator[Dict[str, Any]]:
         d = self.default_setting()
         d["grid_search"] = True
-        if self.debug:
-            d["epochs"] = 5
-        mask = self.json_dict.get("mask", {})
+        j = self.json_dict
+        epochs_axis = [5] if self.debug else _as_list(j.get("epochs", d["epochs"]))
+        vali_k_axis = _as_list(j.get("vali_k", d["vali_k"] or 5))
+        mask = j.get("mask", {})
         if d["mask_label"]:
-            types = mask.get("mask_type", ["rand_mask_all"])
-            ratios = mask.get("mask_ratio", [0.2])
-            for t, r in itertools.product(types, ratios):
-                d2 = dict(d, mask_type=t, mask_ratio=r)
-                self.eval_dict = d2
-                yield d2
+            mask_axes = itertools.product(_as_list(mask.get("mask_type", ["rand_mask_all"])),
+                                          _as_list(mask.get("mask_ratio", [0.2])))
         else:
-            self.eval_dict = d
-            yield d
+            mask_axes = [(d["mask_type"], d["mask_ratio"])]
+        for epochs, vali_k, (t, r) in itertools.product(epochs_axis, vali_k_axis, mask_axes):
+            d2 = dict(d, epochs=epochs, mask_type=t, mask_ratio=r)
+            if d["do_validation"]:
+                d2["vali_k"] = vali_k
+            self.eval_dict = d2
+            yield d2
 
     def to_eval_setting_string(self, log=False) -> str:
         d = self.eval_dict
@@ -206,7 +219,8 @@ class SFSetting:
             cfg = ScorerConfig(
                 sf_id="pointsf", num_features=num_features,
                 num_layers=_first(sub.get("layers", 5)),
-                AF=_first(sub.get("AF", "GE")), TL_AF=_first(sub.get("TL_AF", "S")),
+                AF=_first(sub.get("AF", "GE")),
+                TL_AF=_first(sub.get("TL_AF", sub.get("tl_af", "S"))),
                 apply_tl_af=_first(sub.get("apply_tl_af", True)),
                 BN=_first(sub.get("BN", True)), bn_type=_first(sub.get("bn_type", "BN")),
                 bn_affine=_first(sub.get("bn_affine", True)),
@@ -217,7 +231,8 @@ class SFSetting:
             cfg = ScorerConfig.default_listsf(
                 num_features,
                 ff_dims=tuple(sub.get("ff_dims", [128, 256, 512])),
-                AF=_first(sub.get("AF", "R")), TL_AF=_first(sub.get("TL_AF", "GE")),
+                AF=_first(sub.get("AF", "R")),
+                TL_AF=_first(sub.get("TL_AF", sub.get("tl_af", "GE"))),
                 apply_tl_af=_first(sub.get("apply_tl_af", False)),
                 BN=_first(sub.get("BN", False)), bn_type=_first(sub.get("bn_type", "BN2")),
                 bn_affine=_first(sub.get("bn_affine", False)),
@@ -232,15 +247,18 @@ class SFSetting:
     def grid_search(self, num_features: int):
         j = self.json_dict
         sub = j.get(self.sf_id, {})
-        opts = j.get("opt", ["Adam"]) if self.sf_id.startswith("pointsf") else j.get("opt", ["Adagrad"])
-        lrs = j.get("lr", [1e-4] if self.sf_id.startswith("pointsf") else [1e-3])
+        opts = _as_list(j.get("opt", ["Adam"]) if self.sf_id.startswith("pointsf")
+                        else j.get("opt", ["Adagrad"]))
+        lrs = _as_list(j.get("lr", [1e-4] if self.sf_id.startswith("pointsf") else [1e-3]))
         if self.sf_id.startswith("pointsf"):
             axes = dict(
                 layers=sub.get("layers", [5]), AF=sub.get("AF", ["GE"]),
-                TL_AF=sub.get("TL_AF", ["S"]), apply_tl_af=sub.get("apply_tl_af", [True]),
+                TL_AF=sub.get("TL_AF", sub.get("tl_af", ["S"])),
+                apply_tl_af=sub.get("apply_tl_af", [True]),
                 BN=sub.get("BN", [True]), bn_type=sub.get("bn_type", ["BN"]),
                 bn_affine=sub.get("bn_affine", [True]),
             )
+            axes = {k: _as_list(v) for k, v in axes.items()}
             for opt, lr in itertools.product(opts, lrs):
                 keys = list(axes)
                 for combo in itertools.product(*(axes[k] for k in keys)):
@@ -260,6 +278,7 @@ class SFSetting:
                 n_heads=sub.get("n_heads", [2]), encoder_layers=sub.get("encoder_layers", [6]),
                 encoder_type=sub.get("encoder_type", ["DASALC"]),
             )
+            axes = {k: _as_list(v) for k, v in axes.items()}
             ff_dims = tuple(sub.get("ff_dims", [128, 256, 512]))
             for opt, lr in itertools.product(opts, lrs):
                 keys = list(axes)

@@ -119,10 +119,10 @@ class CVTape:
 
 
 class SummaryTape:
-    """Per-epoch loss/train/vali tracks pickled per fold (reference
+    """Per-epoch loss and validation tracks pickled per fold (reference
     SummaryTape, parameter.py:835-882)."""
 
-    def __init__(self, do_validation: bool, cutoffs: List[int], dir_run: str, fold_k: int):
+    def __init__(self, do_validation: bool, dir_run: str, fold_k: int):
         self.do_validation = do_validation
         self.fold_k = fold_k
         self.dir_run = dir_run

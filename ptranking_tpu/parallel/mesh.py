@@ -34,10 +34,21 @@ class MeshConfig:
 def make_mesh(cfg: Optional[MeshConfig] = None, devices: Optional[Sequence] = None) -> Mesh:
     """Build a (data, model, seq) mesh. With no config, all devices go to the
     data axis (pure DP — the right default for LTR's small dense towers)."""
+    explicit = devices is not None
     devices = list(devices if devices is not None else jax.devices())
     if cfg is None:
         cfg = MeshConfig(data=len(devices))
     assert cfg.num_devices <= len(devices), (cfg, len(devices))
+    if not explicit and cfg.num_devices == len(devices):
+        # topology-aware layout: neighbors on `seq`/`model` sit on adjacent
+        # ICI links (ring ppermute and TP all-reduces stay on-chip-adjacent)
+        try:
+            from jax.experimental import mesh_utils
+
+            arr = mesh_utils.create_device_mesh((cfg.data, cfg.model, cfg.seq))
+            return Mesh(arr, ("data", "model", "seq"))
+        except Exception:
+            pass  # emulated/irregular platforms: fall through to enumeration
     arr = np.asarray(devices[: cfg.num_devices]).reshape(cfg.data, cfg.model, cfg.seq)
     return Mesh(arr, ("data", "model", "seq"))
 
@@ -108,14 +119,19 @@ def scorer_param_sharding(mesh: Mesh, params) -> object:
         layers = ffn["layers"]
         n = len(layers)
         out = []
+        sharded_i = 0  # alternate over SHARDED layers only: a replicated
+        # middle layer must not leave two consecutive sharded matmuls with the
+        # same orientation (that would break the column-then-row pairing and
+        # cost an extra collective)
         for i, layer in enumerate(layers):
             w = layer["linear"]["w"]
             is_last = i == n - 1
             if is_last or min(w.shape) < mesh.shape["model"] or w.shape[1] == 1:
                 spec_w, spec_b = P(), P()
             else:
-                spec_w = _ffn_layer_spec(i, n)
+                spec_w = _ffn_layer_spec(sharded_i, n)
                 spec_b = P("model") if spec_w == P(None, "model") else P()
+                sharded_i += 1
             layer_spec = {"linear": {"w": spec_w, "b": spec_b}}
             if "bn" in layer:
                 layer_spec["bn"] = jax.tree_util.tree_map(lambda _: P(), layer["bn"])

@@ -64,7 +64,10 @@ class DistributedTrainer:
         )
         self.params = jax.device_put(params, self.param_shardings)
         self._optimizer = make_optimizer(self.opt_cfg)
-        # optimizer moments inherit each param's sharding; scalar counts replicate
+        # optimizer moments mirror the params PYTREE inside the optax state,
+        # so shardings are matched by tree-path suffix (shape-only matching
+        # mis-assigned whenever two params shared a shape but not a sharding);
+        # scalars (count, hyperparams) replicate
         self.opt_state = jax.jit(
             self._optimizer.init,
             out_shardings=self._opt_state_shardings(params),
@@ -74,16 +77,33 @@ class DistributedTrainer:
         return self
 
     def _opt_state_shardings(self, params):
+        from jax.tree_util import tree_flatten_with_path
+
         state_shape = jax.eval_shape(self._optimizer.init, params)
+        p_leaves, _ = tree_flatten_with_path(params)
+        sh_leaves = jax.tree_util.tree_leaves(self.param_shardings)
+        by_suffix = {}
+        for (path, leaf), sh in zip(p_leaves, sh_leaves):
+            keys = tuple(str(k) for k in path)
+            by_suffix[(keys, leaf.shape)] = sh
 
-        def pick(leaf):
-            for p, sh in zip(jax.tree_util.tree_leaves(params),
-                             jax.tree_util.tree_leaves(self.param_shardings)):
-                if leaf.shape == p.shape:
+        rep = replicated(self.mesh)
+
+        def pick(path, leaf):
+            if leaf.ndim == 0:
+                return rep
+            keys = tuple(str(k) for k in path)
+            # the moment subtrees ('mu', 'nu', ...) embed the params tree, so
+            # some suffix of the state path IS a params path
+            for start in range(len(keys)):
+                sh = by_suffix.get((keys[start:], leaf.shape))
+                if sh is not None:
                     return sh
-            return replicated(self.mesh)
+            return rep
 
-        return jax.tree_util.tree_map(pick, state_shape)
+        flat, treedef = tree_flatten_with_path(state_shape)
+        return jax.tree_util.tree_unflatten(
+            treedef, [pick(path, leaf) for path, leaf in flat])
 
     def _compile(self):
         scorer_cfg, loss_fn, paras = self.scorer_cfg, self.loss_fn, self.model_paras
@@ -149,19 +169,21 @@ class DistributedTrainer:
         from ptranking_tpu.train.optimizer import epoch_lr, set_lr
 
         self.opt_state = set_lr(self.opt_state, epoch_lr(self.opt_cfg, epoch_k))
-        losses = []
+        losses, num_queries = [], 0
         for batch in batches:
             self._key, sub = jax.random.split(self._key)
             f, l, m = self._put(batch)
             self.params, self.opt_state, loss = self._step(
                 self.params, self.opt_state, sub, f, l, m)
             losses.append(loss)  # device-side; one sync at epoch end
+            num_queries += int(np.sum(np.asarray(batch.mask).any(axis=-1)))
         total = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
         # NaN guard, reference stop_training parity (base/ranker.py:547-561).
         # `total` is already fetched to host every epoch, so the check is free
         if not np.isfinite(total):
             return float("nan"), True
-        return total / max(len(losses), 1), False
+        # mean per REAL query, matching AdhocRanker.train_epoch
+        return total / max(num_queries, 1), False
 
     def evaluate(self, batches, ks=(1, 3, 5, 10)):
         ks = tuple(ks)

@@ -33,8 +33,11 @@ def trace(log_dir: str) -> Iterator[None]:
 
 
 def force(value) -> float:
-    """Force completion of everything `value` depends on by fetching it."""
-    return float(jnp.sum(jax.tree_util.tree_leaves(value)[0]).astype(jnp.float32))
+    """Force completion of everything `value` depends on by fetching EVERY
+    leaf (fetching only one would leave work behind sibling leaves from other
+    executables untimed on tunneled backends)."""
+    return float(sum(float(jnp.sum(leaf).astype(jnp.float32))
+                     for leaf in jax.tree_util.tree_leaves(value)))
 
 
 class StepTimer:
