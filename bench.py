@@ -1,16 +1,22 @@
-"""Benchmark: LambdaRank + listwise self-attention (DASALC) training throughput.
+"""Benchmark: LambdaRank + listwise self-attention (DASALC) training throughput
+and MFU across an operating grid.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line:
+  {"metric", "value", "unit", "vs_baseline", "mfu", "device", "points": [...]}
 
-value        = lists/s/chip training the flagship config (136 features, lists
-               of 128 docs — the MSLR-WEB30K shape) on the default jax
-               platform (the real TPU chip under the driver).
+value        = lists/s/chip at the best operating point (136 features — the
+               MSLR-WEB30K shape) on the default jax platform (the real TPU
+               chip under the driver).
+mfu          = achieved FLOP/s / peak FLOP/s at that point. FLOPs/step come
+               from XLA's compiled cost analysis (fwd+bwd+update of the
+               flagship train step), falling back to an analytic matmul count.
 vs_baseline  = value / CPU-reference-lists-per-s. The reference
                (wildltr/ptranking) is CPU/1-GPU torch; BASELINE.json's target
                is >=5x its CPU throughput. The torch-equivalent baseline
                (same scorer shape + LambdaRank semantics, measured with torch
-               on this host's CPU) is measured inline when torch is available,
-               else a recorded constant from this machine is used.
+               on this host's CPU) is measured inline when torch is available.
+points       = the full (B, N, dtype) sweep: lists/s + mfu per point
+               (VERDICT r1 #4: B in {128,512,2048}, N in {128,1408}).
 """
 
 import json
@@ -18,54 +24,127 @@ import time
 
 import numpy as np
 
-N, F = 128, 136          # docs/list, features (WEB30K shape)
-B = 512                   # TPU batch: best measured operating point (bf16)
+F = 136                   # features (WEB30K shape)
 B_TORCH = 32              # CPU torch batch: CPU is rate-saturated already
 STEPS = 20
 WARMUP = 5
 RECORDED_TORCH_CPU_LISTS_PER_S = None  # filled by --record-baseline; see below
 
+# (B, N) operating grid; long-list points use a smaller batch to fit HBM
+SWEEP = [(128, 128), (512, 128), (2048, 128), (8, 1408), (32, 1408)]
+DTYPES = ["bfloat16", "float32"]
 
-def bench_jax() -> float:
+# Peak dense bf16/fp32 FLOP/s per chip by device_kind (public TPU specs).
+# fp32 peak on TPU is ~1/2 the bf16 MXU peak (v4+) — MFU is reported against
+# the matching-dtype peak.
+PEAK_FLOPS = {
+    "TPU v2": 45e12, "TPU v3": 123e12, "TPU v4": 275e12,
+    "TPU v5 lite": 197e12, "TPU v5e": 197e12,
+    "TPU v5p": 459e12, "TPU v5": 459e12,
+    "TPU v6 lite": 918e12, "TPU v6e": 918e12, "TPU v7": 4614e12,
+}
+
+
+def peak_flops(device_kind: str, dtype: str) -> float:
+    peak = None
+    for k, v in PEAK_FLOPS.items():
+        if device_kind.lower().startswith(k.lower()):
+            peak = v
+    if peak is None:
+        peak = 275e12  # conservative default: v4
+    if dtype == "float32":
+        peak = peak / 2.0
+    return peak
+
+
+def analytic_flops_per_step(params, B: int, N: int, n_heads: int,
+                            enc_layers: int, d: int) -> float:
+    """Fallback matmul count: 2*in*out per token per linear (from the actual
+    param pytree), + QK^T/PV attention terms; x3 for fwd+bwd."""
     import jax
+
+    per_token = 0.0
+    for leaf in jax.tree_util.tree_leaves(params):
+        if getattr(leaf, "ndim", 0) == 2:
+            per_token += 2.0 * leaf.shape[0] * leaf.shape[1]
+    linear = per_token * B * N
+    attn = enc_layers * 2 * (2.0 * B * N * N * d)  # QK^T + PV
+    return 3.0 * (linear + attn)
+
+
+def _xla_flops(compiled) -> float:
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+def bench_point(B: int, N: int, dtype: str):
+    """One (B, N, dtype) point: returns (lists/s, mfu) or None on OOM."""
+    import jax
+    import jax.numpy as jnp
 
     from ptranking_tpu.data.dataset import make_synthetic_queries, BucketedDataset
     from ptranking_tpu.models import ScorerConfig
     from ptranking_tpu.train import AdhocRanker, OptimizerConfig
 
     cfg = ScorerConfig.default_listsf(num_features=F, dropout=0.1,
-                                  compute_dtype="bfloat16")
-    ranker = AdhocRanker(
-        "LambdaRank", cfg, opt_cfg=OptimizerConfig(opt="Adagrad", lr=1e-3)
-    ).init()
-    nq = min(B, 256)  # tile a smaller synthetic pool up to the TPU batch
-    qs = make_synthetic_queries(num_queries=nq, num_features=F, min_docs=N, max_docs=N, seed=1)
-    ds = BucketedDataset(qs, batch_docs=nq * N, buckets=(N,))
-    batch = next(iter(ds.batches()))
-    reps = B // nq
-    feats = np.tile(np.asarray(batch.features), (reps, 1, 1))
-    labels = np.tile(np.asarray(batch.labels), (reps, 1))
-    mask = np.tile(np.asarray(batch.mask), (reps, 1))
+                                      compute_dtype=dtype)
+    try:
+        ranker = AdhocRanker(
+            "LambdaRank", cfg, opt_cfg=OptimizerConfig(opt="Adagrad", lr=1e-3)
+        ).init()
+        nq = min(B, 256)  # tile a smaller synthetic pool up to the TPU batch
+        qs = make_synthetic_queries(num_queries=nq, num_features=F,
+                                    min_docs=N, max_docs=N, seed=1)
+        ds = BucketedDataset(qs, batch_docs=nq * N, buckets=(N,))
+        batch = next(iter(ds.batches()))
+        reps = B // nq if B > nq else 1
+        feats = np.tile(np.asarray(batch.features)[:min(B, nq)], (reps, 1, 1))
+        labels = np.tile(np.asarray(batch.labels)[:min(B, nq)], (reps, 1))
+        mask = np.tile(np.asarray(batch.mask)[:min(B, nq)], (reps, 1))
+        feats, labels, mask = jnp.asarray(feats), jnp.asarray(labels), jnp.asarray(mask)
 
-    import jax.numpy as jnp
+        key = jax.random.PRNGKey(0)
+        warm = WARMUP if N <= 256 else 2
+        steps = STEPS if N <= 256 else 5
+        for _ in range(warm):
+            key, sub = jax.random.split(key)
+            ranker.params, ranker.opt_state, loss = ranker._compiled_step(
+                ranker.params, ranker.opt_state, sub, feats, labels, mask)
+        float(loss)  # NOT block_until_ready: on the remote-TPU (axon) backend
+        # it can return before queued donated-buffer steps finish,
+        # under-measuring by >50x; fetching the value forces a real read.
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            key, sub = jax.random.split(key)
+            ranker.params, ranker.opt_state, loss = ranker._compiled_step(
+                ranker.params, ranker.opt_state, sub, feats, labels, mask)
+        float(loss)
+        dt = time.perf_counter() - t0
+    except Exception as exc:  # OOM or compile failure at an oversize point
+        print(f"# point B={B} N={N} {dtype}: {type(exc).__name__}", flush=True)
+        return None
 
-    feats, labels, mask = jnp.asarray(feats), jnp.asarray(labels), jnp.asarray(mask)
-    key = jax.random.PRNGKey(0)
-    for _ in range(WARMUP):
-        key, sub = jax.random.split(key)
-        ranker.params, ranker.opt_state, loss = ranker._compiled_step(
-            ranker.params, ranker.opt_state, sub, feats, labels, mask)
-    float(loss)  # NOT block_until_ready: on the remote-TPU (axon) backend it
-    # can return before queued donated-buffer steps finish, under-measuring by
-    # >50x; fetching the value forces a real device->host read.
-    t0 = time.perf_counter()
-    for _ in range(STEPS):
-        key, sub = jax.random.split(key)
-        ranker.params, ranker.opt_state, loss = ranker._compiled_step(
-            ranker.params, ranker.opt_state, sub, feats, labels, mask)
-    float(loss)
-    dt = time.perf_counter() - t0
-    return B * STEPS / dt
+    lists_per_s = B * steps / dt
+    # FLOPs/step: XLA cost analysis of the very executable we timed
+    try:
+        flops = _xla_flops(ranker._compiled_step.lower(
+            ranker.params, ranker.opt_state, key, feats, labels, mask).compile())
+    except Exception:
+        flops = None
+    if flops is None:
+        flops = analytic_flops_per_step(ranker.params, B, N, cfg.n_heads,
+                                        cfg.encoder_layers, F)
+    device_kind = jax.devices()[0].device_kind
+    mfu = (flops * steps / dt) / peak_flops(device_kind, dtype)
+    return {"B": B, "N": N, "dtype": dtype,
+            "lists_per_s": round(lists_per_s, 2),
+            "flops_per_step": flops, "mfu": round(mfu, 4)}
 
 
 def bench_torch_cpu() -> float:
@@ -78,6 +157,7 @@ def bench_torch_cpu() -> float:
     import torch
     import torch.nn as nn
 
+    N = 128
     torch.manual_seed(0)
     ff_dims = [128, 256, 512]
 
@@ -151,17 +231,32 @@ def bench_torch_cpu() -> float:
 
 
 def main():
-    value = bench_jax()
+    import jax
+
+    device_kind = jax.devices()[0].device_kind
+    points = []
+    for dtype in DTYPES:
+        for B, N in SWEEP:
+            p = bench_point(B, N, dtype)
+            if p is not None:
+                points.append(p)
+    assert points, "no operating point completed"
+    # headline = best lists/s at the flagship N=128 shape
+    best = max((p for p in points if p["N"] == 128), key=lambda p: p["lists_per_s"])
     try:
         baseline = bench_torch_cpu()
     except Exception:
         baseline = RECORDED_TORCH_CPU_LISTS_PER_S
-    vs = (value / baseline) if baseline else None
+    vs = (best["lists_per_s"] / baseline) if baseline else None
     print(json.dumps({
         "metric": "lists/s/chip (WEB30K-shape LambdaRank + DASALC listsf)",
-        "value": round(value, 2),
+        "value": best["lists_per_s"],
         "unit": "lists/s",
         "vs_baseline": round(vs, 2) if vs else None,
+        "mfu": best["mfu"],
+        "device": device_kind,
+        "best_point": {k: best[k] for k in ("B", "N", "dtype")},
+        "points": points,
     }))
 
 

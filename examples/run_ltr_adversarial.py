@@ -10,6 +10,6 @@ models_to_run = ["IRGAN_Point", "IRFGAN_Point"]
 
 if __name__ == "__main__":
     for model_id in models_to_run:
-        AdLTREvaluator().ad_cv_eval(model_id=model_id, data_id=data_id,
-                                    dir_data=dir_data, debug=debug,
-                                    dir_output="./ad_output/")
+        AdLTREvaluator().run(model_id=model_id, data_id=data_id,
+                             dir_data=dir_data, debug=debug,
+                             dir_output="./ad_output/")

@@ -11,7 +11,7 @@ models_to_run = ["DALETOR", "DivProbRanker"]
 
 if __name__ == "__main__":
     for model_id in models_to_run:
-        DivLTREvaluator().div_cv_eval(model_id, data_id=data_id,
-                                      dir_data=dir_data, debug=debug,
-                                      dir_output="./div_output/",
-                                      write_run_files=True)
+        DivLTREvaluator().point_run(model_id=model_id, data_id=data_id,
+                                    dir_data=dir_data, debug=debug,
+                                    dir_output="./div_output/",
+                                    write_run_files=True)

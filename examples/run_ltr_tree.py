@@ -8,6 +8,6 @@ data_id = "SyntheticMQ"
 dir_data = None
 
 if __name__ == "__main__":
-    TreeLTREvaluator().kfold_cv_eval(model_id="TPUGBDTLambdaMART",
-                                     data_id=data_id, dir_data=dir_data,
-                                     debug=debug, dir_output="./tree_output/")
+    TreeLTREvaluator().point_run(model_id="TPUGBDTLambdaMART",
+                                 data_id=data_id, dir_data=dir_data,
+                                 debug=debug, dir_output="./tree_output/")

@@ -198,6 +198,12 @@ class IRGAN_Pair(AdversarialMachine):
         self.g_epoches = ad_para_dict.get("g_epoches", 1)
         self.ad_training_order = ad_para_dict.get("ad_training_order", "DG")
         self.samples_per_query = ad_para_dict.get("samples_per_query", 5)
+        # truth-side pair sampling scheme (reference pair_sampling.py:27-150):
+        # uniform (reference IRGAN_Pair's randperm positives), discounted
+        # (generate_true_pairs), BT (sample_pairs_BT on labels), Gaussian
+        # (sample_pairs_gaussian on labels)
+        self.truth_sampling = ad_para_dict.get("truth_sampling", "uniform")
+        assert self.truth_sampling in ("uniform", "discounted", "BT", "Gaussian")
         self.generator, self.discriminator = make_players(sf_para, self.temperature, seed)
         self._key = jax.random.PRNGKey(seed + 11)
         self._build()
@@ -206,6 +212,7 @@ class IRGAN_Pair(AdversarialMachine):
         g, d = self.generator, self.discriminator
         S = self.samples_per_query
         loss_type = self.loss_type
+        truth_sampling = self.truth_sampling
         g_opt, d_opt = g._optimizer, d._optimizer
 
         def sample_pairs(g_params, key, features, labels, mask, from_sigmoid: bool):
@@ -220,10 +227,30 @@ class IRGAN_Pair(AdversarialMachine):
             neg_idx = sample_categorical_masked(k_neg, logits, neg_mask, S, replacement=True)
             return pos_idx, neg_idx, valid_q, g_scores
 
+        def truth_pairs(key, labels, mask):
+            """Truth-side (pos, neg) pair indices per the configured scheme."""
+            from ptranking_tpu.adversarial.util import (
+                generate_true_pairs, sample_pairs_bt, sample_pairs_gaussian)
+
+            if truth_sampling == "discounted":
+                head, tail, has = generate_true_pairs(key, labels, mask, S)
+                return head, tail, has
+            if truth_sampling == "BT":
+                head, tail = sample_pairs_bt(key, labels, mask, S)
+            else:  # Gaussian
+                head, tail = sample_pairs_gaussian(key, labels, mask, S)
+            # a drawn pair is informative only when some positive exists
+            return head, tail, _num_pos(labels, mask) >= 1
+
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def d_step(d_params, d_opt_state, g_params, key, features, labels, mask):
             B, N, _ = features.shape
-            pos_idx, neg_idx, valid_q, _ = sample_pairs(g_params, key, features, labels, mask, False)
+            if truth_sampling == "uniform":
+                pos_idx, neg_idx, valid_q, _ = sample_pairs(
+                    g_params, key, features, labels, mask, False)
+            else:
+                k_t, k_n = jax.random.split(key)
+                pos_idx, neg_idx, valid_q = truth_pairs(k_t, labels, mask)
             pos_docs, neg_docs = _gather_docs(features, pos_idx), _gather_docs(features, neg_idx)
             smask = jnp.broadcast_to(valid_q[:, None], (B, S))
 

@@ -154,3 +154,94 @@ def subranking_masks(mask: jnp.ndarray, S: int, k: int
 
 def weighted_mean(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(x * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+# --- pair sampling (reference ltr_adversarial/util/pair_sampling.py:27-150) ---
+#
+# The reference's per-qid Python loops with torch.multinomial become batched
+# [B, N, N] weight matrices + one categorical draw over the flattened pair
+# axis — identical distributions, static shapes for XLA.
+
+
+def weighted_clipped_pos_diffs(labels: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Position-discounted positive label gaps [B, N, N] (reference
+    get_weighted_clipped_pos_diffs, pair_sampling.py:26-51): w_ij =
+    max(l_i - l_j, 0) / (log2(2+i) * log2(2+j)). Presorted labels make the
+    reference's [0:num_pos, 0:num_explicit] clip implicit — rows beyond the
+    positives carry no positive gaps."""
+    n = labels.shape[-1]
+    diffs = jnp.maximum(labels[..., :, None] - labels[..., None, :], 0.0)
+    disc = 1.0 / jnp.log2(2.0 + jnp.arange(n, dtype=labels.dtype))
+    w = diffs * disc[None, :, None] * disc[None, None, :]
+    valid = mask[..., :, None] & mask[..., None, :]
+    return jnp.where(valid, w, 0.0)
+
+
+def _flat_pair_sample(key, weights: jnp.ndarray, num_pairs: int):
+    """weights [B, N, N] -> (head [B, S], tail [B, S]) ~ categorical over the
+    flattened pair axis, with replacement (reference torch.multinomial over
+    .view(1, -1))."""
+    B, N, _ = weights.shape
+    logits = jnp.log(jnp.maximum(weights.reshape(B, N * N), _EPS))
+    idx = jax.random.categorical(key, logits[:, None, :], axis=-1,
+                                 shape=(B, num_pairs))
+    return idx // N, idx % N
+
+
+def generate_true_pairs(key, labels: jnp.ndarray, mask: jnp.ndarray,
+                        num_pairs: int):
+    """Discounted true-pair sampling (reference generate_true_pairs,
+    pair_sampling.py:53-78): (head, tail, has_pairs[B])."""
+    w = weighted_clipped_pos_diffs(labels, mask)
+    head, tail = _flat_pair_sample(key, w, num_pairs)
+    return head, tail, jnp.sum(w, axis=(-2, -1)) > 0
+
+
+def sample_points_bernoulli(key, mat_probs: jnp.ndarray, num_pairs: int):
+    """Two-stage Bernoulli-then-multinomial pair draw (reference
+    sample_points_Bernoulli, pair_sampling.py:112-124): b ~ Bernoulli(p) per
+    pair, then uniform (multinomial over b) among successes, with replacement.
+    Rows with zero successes fall back to p itself (the reference would
+    propagate an all-zero multinomial error)."""
+    k_b, k_m = jax.random.split(key)
+    B, N, _ = mat_probs.shape
+    flat = mat_probs.reshape(B, N * N)
+    b = jax.random.bernoulli(k_b, jnp.clip(flat, 0.0, 1.0))
+    any_success = jnp.any(b, axis=-1, keepdims=True)
+    weights = jnp.where(any_success, b.astype(flat.dtype), flat)
+    logits = jnp.log(jnp.maximum(weights, _EPS))
+    idx = jax.random.categorical(k_m, logits[:, None, :], axis=-1,
+                                 shape=(B, num_pairs))
+    return idx // N, idx % N
+
+
+def sample_pairs_bt(key, point_vals: jnp.ndarray, mask: jnp.ndarray,
+                    num_pairs: int):
+    """Bradley-Terry pair sampling (reference sample_pairs_BT,
+    pair_sampling.py:89-110): p(d_i > d_j) = sigmoid(s_i - s_j), then the
+    Bernoulli/multinomial two-stage draw."""
+    probs = jax.nn.sigmoid(point_vals[..., :, None] - point_vals[..., None, :])
+    valid = mask[..., :, None] & mask[..., None, :]
+    return sample_points_bernoulli(key, jnp.where(valid, probs, 0.0), num_pairs)
+
+
+def gaussian_integral_0_inf(mu: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Closed form of the reference's quad() (pt_extensions.py:112-132):
+    integral_0^inf N(y; mu/sigma, 1)/sigma dy = Phi(mu/sigma)/sigma.
+    Faithful quirk: the extra 1/sigma factor means this is NOT a normalized
+    probability (the reference feeds it to Bernoulli regardless)."""
+    z = mu / sigma
+    return 0.5 * (1.0 + jax.lax.erf(z / jnp.sqrt(2.0))) / sigma
+
+
+def sample_pairs_gaussian(key, point_vals: jnp.ndarray, mask: jnp.ndarray,
+                          num_pairs: int, sigma: float = 1.0):
+    """Gaussian pair sampling (reference sample_pairs_gaussian,
+    pair_sampling.py:80-87): pair prob = GaussianIntegral_0_inf(s_i - s_j,
+    sqrt(2)*sigma), then the Bernoulli/multinomial two-stage draw."""
+    import math as _math
+
+    means = point_vals[..., :, None] - point_vals[..., None, :]
+    probs = gaussian_integral_0_inf(means, _math.sqrt(2.0) * sigma)
+    valid = mask[..., :, None] & mask[..., None, :]
+    return sample_points_bernoulli(key, jnp.where(valid, probs, 0.0), num_pairs)

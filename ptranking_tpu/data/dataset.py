@@ -128,6 +128,16 @@ class BucketedDataset:
                 f[:rem], l[:rem], m[:rem], qi[:rem] = feats[sl], labels[sl], mask[sl], qids[sl]
                 yield RankingBatch(f, l, m, qi)
 
+    def qid_for(self, batch: "RankingBatch", row: int) -> Optional[str]:
+        """Public accessor: the qid string behind `batch` row `row`, or None
+        for an all-padded remainder row. Kept next to the bucket-keying code
+        so external callers (serving) never depend on the internals."""
+        idx = int(np.asarray(batch.qids)[row])
+        if idx < 0:
+            return None
+        bucket = batch.features.shape[1]  # buckets are keyed by padded length
+        return self._qid_strs[bucket][idx]
+
     def __len__(self):
         total = 0
         for b, (feats, *_rest) in self._packed.items():

@@ -34,6 +34,10 @@ class DivQuery(NamedTuple):
     q_repr: np.ndarray      # [D]
     doc_reprs: np.ndarray   # [N, D]
     rele_mat: np.ndarray    # [S, N] 0/1 subtopic coverage
+    # real docnos, same order as doc_reprs rows (reference keeps perm_docs
+    # end-to-end, div_data.py:53-127, so run files carry official TREC ids);
+    # None only for legacy callers
+    docnos: Optional[Tuple[str, ...]] = None
 
 
 class DivBatch(NamedTuple):
@@ -100,7 +104,7 @@ def load_trec_div_fold(
             q_repr = q_repr + rng.normal(0, std_delta, q_repr.shape).astype(np.float32)
             doc_reprs = doc_reprs + rng.normal(0, std_delta, doc_reprs.shape).astype(np.float32)
         rele_mat = to_matrix(perm_docs, subs)
-        out.append(DivQuery(qid, q_repr, doc_reprs, rele_mat))
+        out.append(DivQuery(qid, q_repr, doc_reprs, rele_mat, tuple(perm_docs)))
     return out
 
 
@@ -131,10 +135,11 @@ def make_synthetic_div_queries(
         rele = (proj > thresh[None]).T.astype(np.float32)  # [S, N]
         if rele.sum() == 0:
             rele[0, int(np.argmax(proj[:, 0]))] = 1.0
+        docnos = np.asarray([f"synth{qi}-{j:04d}" for j in range(N)])
         if presort:
             order = np_greedy_ideal_ranking(rele)
-            docs, rele = docs[order], rele[:, order]
-        out.append(DivQuery(f"divq{qi}", q, docs, rele))
+            docs, rele, docnos = docs[order], rele[:, order], docnos[order]
+        out.append(DivQuery(f"divq{qi}", q, docs, rele, tuple(docnos)))
     return out
 
 
@@ -185,6 +190,16 @@ class DivBucketedDataset:
                 qids[:nb] = idx[lo:lo + nb]  # index into this bucket's items
                 yield DivBatch(q_repr, doc_reprs, rele, dmask, smask, qids)
 
+    def query_for(self, batch: DivBatch, row: int) -> Optional[DivQuery]:
+        """Public accessor: the DivQuery behind `batch` row `row`, or None for
+        an all-padded remainder row. DivBatch.qids carries the per-bucket item
+        index; the bucket is keyed by the padded doc-axis length."""
+        idx = int(np.asarray(batch.qids)[row])
+        if idx < 0:
+            return None
+        bucket = batch.doc_reprs.shape[1]
+        return self._by_bucket[bucket][idx]
+
     def __len__(self):
         return sum(math.ceil(len(v) / self.batch_queries) for v in self._by_bucket.values() if v)
 
@@ -205,6 +220,8 @@ def rerank_queries(queries, ranker, top_k: int):
             continue
         scores = np.asarray(ranker.predict(batch))[0][:n]
         keep = np.argsort(-scores, kind="stable")[:top_k]
+        kept_docnos = (tuple(np.asarray(q.docnos)[keep]) if q.docnos is not None
+                       else None)
         out.append(DivQuery(q.qid, q.q_repr, q.doc_reprs[keep],
-                            q.rele_mat[:, keep]))
+                            q.rele_mat[:, keep], kept_docnos))
     return out

@@ -166,7 +166,7 @@ class LTREvaluator:
             train, test, vali = self.load_data(eval_dict, data_dict, fold_k)
             vali_tape = (ValidationTape(fold_k, epochs, eval_dict["vali_metric"],
                                         eval_dict["vali_k"], dir_run) if do_vali else None)
-            summary_tape = (SummaryTape(do_vali, dir_run, fold_k)
+            summary_tape = (SummaryTape(do_vali, dir_run, fold_k, cutoffs=cutoffs)
                             if eval_dict.get("do_summary") else None)
             loss_tape = OptLossTape() if eval_dict.get("loss_guided") else None
 
@@ -191,9 +191,11 @@ class LTREvaluator:
                                           metric=eval_dict["vali_metric"])
                     vali_tape.epoch_validation(epoch_k, v, ranker)
                     if summary_tape:
-                        summary_tape.epoch_summary(epoch_loss, v)
+                        summary_tape.epoch_summary(epoch_loss, v, ranker=ranker,
+                                                   train_data=train, test_data=test)
                 elif summary_tape:
-                    summary_tape.epoch_summary(epoch_loss)
+                    summary_tape.epoch_summary(epoch_loss, ranker=ranker,
+                                               train_data=train, test_data=test)
                 if loss_tape and loss_tape.epoch_cmp_loss(epoch_loss):
                     break
 
@@ -210,7 +212,7 @@ class LTREvaluator:
             else:
                 ranker.save(os.path.join(dir_run, f"Fold-{fold_k}", "net_params_latest.pkl"))
             if summary_tape:
-                summary_tape.fold_summary()
+                summary_tape.fold_summary(train_data_length=train.num_queries)
             if eval_dict.get("do_log", True) and epochs_ran:
                 print(f"  [fold {fold_k}] {fold_queries / max(train_s, 1e-9):,.0f}"
                       f" lists/s (training) over {epochs_ran} epochs")

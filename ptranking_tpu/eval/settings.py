@@ -245,18 +245,23 @@ class SFSetting:
         return self.sf_para
 
     def grid_search(self, num_features: int):
+        """Built-in (non-json) grids mirror the reference's non-debug choice
+        lists (pointsf_grid_search/listsf_grid_search, parameter.py:168-290):
+        AF/TL_AF over ['R','CE','S'] (['R','CE'] in debug), Adam 1e-3, BN2
+        non-affine. JSON axes override everything."""
         j = self.json_dict
         sub = j.get(self.sf_id, {})
-        opts = _as_list(j.get("opt", ["Adam"]) if self.sf_id.startswith("pointsf")
-                        else j.get("opt", ["Adagrad"]))
-        lrs = _as_list(j.get("lr", [1e-4] if self.sf_id.startswith("pointsf") else [1e-3]))
+        af_default = ["R", "CE"] if self.debug else ["R", "CE", "S"]
+        opts = _as_list(j.get("opt", ["Adam"]))
+        lrs = _as_list(j.get("lr", [1e-3]))
         if self.sf_id.startswith("pointsf"):
             axes = dict(
-                layers=sub.get("layers", [5]), AF=sub.get("AF", ["GE"]),
-                TL_AF=sub.get("TL_AF", sub.get("tl_af", ["S"])),
+                layers=sub.get("layers", [3] if self.debug else [5]),
+                AF=sub.get("AF", af_default),
+                TL_AF=sub.get("TL_AF", sub.get("tl_af", af_default)),
                 apply_tl_af=sub.get("apply_tl_af", [True]),
-                BN=sub.get("BN", [True]), bn_type=sub.get("bn_type", ["BN"]),
-                bn_affine=sub.get("bn_affine", [True]),
+                BN=sub.get("BN", [True]), bn_type=sub.get("bn_type", ["BN2"]),
+                bn_affine=sub.get("bn_affine", [False]),
             )
             axes = {k: _as_list(v) for k, v in axes.items()}
             for opt, lr in itertools.product(opts, lrs):
@@ -272,10 +277,13 @@ class SFSetting:
                     yield self.sf_para
         else:
             axes = dict(
-                AF=sub.get("AF", ["R"]), TL_AF=sub.get("TL_AF", sub.get("tl_af", ["GE"])),
-                apply_tl_af=sub.get("apply_tl_af", [False]), BN=sub.get("BN", [False]),
+                AF=sub.get("AF", af_default),
+                TL_AF=sub.get("TL_AF", sub.get("tl_af", af_default)),
+                apply_tl_af=sub.get("apply_tl_af", [True]),
+                BN=sub.get("BN", [True]),
                 bn_type=sub.get("bn_type", ["BN2"]), bn_affine=sub.get("bn_affine", [False]),
-                n_heads=sub.get("n_heads", [2]), encoder_layers=sub.get("encoder_layers", [6]),
+                n_heads=sub.get("n_heads", [2]),
+                encoder_layers=sub.get("encoder_layers", [3]),
                 encoder_type=sub.get("encoder_type", ["DASALC"]),
             )
             axes = {k: _as_list(v) for k, v in axes.items()}
@@ -304,8 +312,11 @@ class SFSetting:
 # ----------------------------------------------------------------- model
 
 
-# Grid-search axes per model (non-debug defaults mirror each reference
-# <Model>Parameter.grid_search; JSON overrides).
+# Grid-search axes per model. Non-debug lists mirror each reference
+# <Model>Parameter.grid_search else-branch verbatim (e.g. ranknet.py:73-84
+# sigma [1.0]; mdprank.py top_k [10], temperature [1.0]; wassRank.py
+# wass_choice_* lists); MODEL_GRIDS_DEBUG carries the reference's debug
+# variants. JSON axes override everything.
 MODEL_GRIDS: Dict[str, Dict[str, List[Any]]] = {
     "RankMSE": {},
     "RankNet": {"sigma": [1.0]},
@@ -317,11 +328,21 @@ MODEL_GRIDS: Dict[str, Dict[str, List[Any]]] = {
     "ApproxNDCG": {"alpha": [10.0]},
     "LambdaLoss": {"loss_type": ["NDCG_Loss2"], "k": [5], "sigma": [1.0], "mu": [5.0]},
     "SoftRank": {"delta": [1.0], "top_k": [None], "metric": ["nDCG"]},
-    "MDPRank": {"distribution": ["PL"], "temperature": [1.0], "gamma": [1.0], "top_k": [None]},
-    "WassRank": {"mode": ["SinkhornOT"], "sh_itr": [20], "lam": [0.1], "cost_type": ["eg"],
-                 "smooth_type": ["ST"], "norm_type": ["BothST"], "non_rele_gap": [100],
+    "MDPRank": {"distribution": ["PL"], "temperature": [1.0], "gamma": [1.0], "top_k": [10]},
+    # reference wassRank.py grid_search else-branch: WassLossSta/10 itr/0.1
+    # lam/eg cost/gap 10/penalty e/base 4 (our mode ids name the same solver)
+    "WassRank": {"mode": ["SinkhornOT"], "sh_itr": [10], "lam": [0.1], "cost_type": ["eg"],
+                 "smooth_type": ["ST"], "norm_type": ["BothST"], "non_rele_gap": [10],
                  "var_penalty": [2.718281828459045], "gain_base": [4]},
     "DASALC": {},
+}
+
+# Debug-mode grid shrinks/variants (each reference grid_search debug branch).
+MODEL_GRIDS_DEBUG: Dict[str, Dict[str, List[Any]]] = {
+    "RankNet": {"sigma": [5.0, 1.0]},
+    "LambdaRank": {"sigma": [5.0, 1.0]},
+    "SoftRank": {"delta": [5.0, 1.0]},
+    "MDPRank": {"temperature": [0.1]},
 }
 
 
@@ -351,9 +372,12 @@ class ModelSetting:
         return d
 
     def grid_search(self) -> Iterator[Dict[str, Any]]:
-        axes = {k: (v if isinstance(v, list) else [v]) for k, v in MODEL_GRIDS[self.model_id].items()}
+        axes = {k: _as_list(v) for k, v in MODEL_GRIDS[self.model_id].items()}
+        if self.debug:
+            for k, v in MODEL_GRIDS_DEBUG.get(self.model_id, {}).items():
+                axes[k] = _as_list(v)
         for k, v in self.json_dict.items():
-            axes[k] = v if isinstance(v, list) else [v]
+            axes[k] = _as_list(v)
         if not axes:
             self.para_dict = dict(self.defaults)
             yield self.para_dict
@@ -362,6 +386,10 @@ class ModelSetting:
         for combo in itertools.product(*(axes[k] for k in keys)):
             d = dict(self.defaults)
             d.update(dict(zip(keys, combo)))
+            # reference nuance (lambdaloss.py grid_search): mu only applies
+            # to the NDCG_Loss2++ loss type
+            if self.model_id == "LambdaLoss" and d.get("loss_type") != "NDCG_Loss2++":
+                d.pop("mu", None)
             self.para_dict = d
             yield d
 

@@ -119,27 +119,54 @@ class CVTape:
 
 
 class SummaryTape:
-    """Per-epoch loss and validation tracks pickled per fold (reference
-    SummaryTape, parameter.py:835-882)."""
+    """Per-epoch loss + train/test nDCG@ks tracks + vali track, pickled per
+    fold in the reference's file layout (reference SummaryTape,
+    parameter.py:835-882: `Fold_k_{train,test,vali}_eval.np` and
+    `Fold_k_epoch_loss.np` = (epoch losses, train length))."""
 
-    def __init__(self, do_validation: bool, dir_run: str, fold_k: int):
+    def __init__(self, do_validation: bool, dir_run: str, fold_k: int,
+                 cutoffs: Optional[List[int]] = None, id_str: Optional[str] = None):
         self.do_validation = do_validation
         self.fold_k = fold_k
         self.dir_run = dir_run
+        self.id_str = id_str  # per-player infix, e.g. 'G'/'D' (ad branch)
+        self.cutoffs = tuple(cutoffs or (1, 3, 5, 10, 20, 50))
         self.list_epoch_loss: List[float] = []
         self.list_fold_k_vali_track: List[float] = []
+        self.list_fold_k_train_track: List[np.ndarray] = []
+        self.list_fold_k_test_track: List[np.ndarray] = []
 
-    def epoch_summary(self, epoch_loss: float, vali_value: Optional[float] = None):
+    def epoch_summary(self, epoch_loss: float, vali_value: Optional[float] = None,
+                      ranker=None, train_data=None, test_data=None):
+        """Record one epoch. When ranker+train/test datasets are given, also
+        track per-epoch nDCG@ks on them (reference epoch_summary,
+        parameter.py:850-868)."""
         self.list_epoch_loss.append(float(epoch_loss))
         if vali_value is not None:
             self.list_fold_k_vali_track.append(float(vali_value))
+        if ranker is not None and train_data is not None:
+            tr = ranker.evaluate(train_data.batches(), ks=self.cutoffs)
+            self.list_fold_k_train_track.append(np.asarray(tr["nDCG"]))
+        if ranker is not None and test_data is not None:
+            te = ranker.evaluate(test_data.batches(), ks=self.cutoffs)
+            self.list_fold_k_test_track.append(np.asarray(te["nDCG"]))
 
-    def fold_summary(self):
-        path = os.path.join(self.dir_run, f"fold_{self.fold_k}_summary.pkl")
-        with open(path, "wb") as f:
-            pickle.dump(
-                {"epoch_loss": self.list_epoch_loss, "vali_track": self.list_fold_k_vali_track}, f
-            )
+    def fold_summary(self, train_data_length: Optional[int] = None):
+        prefix = os.path.join(self.dir_run, f"Fold_{self.fold_k}")
+        if self.id_str:
+            prefix = "_".join([prefix, self.id_str])
+
+        def save(obj, suffix):
+            with open("_".join([prefix, suffix]), "wb") as f:
+                pickle.dump(obj, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+        if self.do_validation and self.list_fold_k_vali_track:
+            save(np.hstack(self.list_fold_k_vali_track), "vali_eval.np")
+        if self.list_fold_k_train_track:
+            save(np.vstack(self.list_fold_k_train_track), "train_eval.np")
+        if self.list_fold_k_test_track:
+            save(np.vstack(self.list_fold_k_test_track), "test_eval.np")
+        save((np.asarray(self.list_epoch_loss), train_data_length), "epoch_loss.np")
 
 
 class OptLossTape:

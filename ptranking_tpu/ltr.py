@@ -44,7 +44,14 @@ def main(argv=None):
     if args.model in LTR_ADVERSARIAL_MODELS:
         from ptranking_tpu.adversarial import AdLTREvaluator
         evaluator = AdLTREvaluator()
-        return evaluator.ad_cv_eval(
+        if args.dir_json:
+            return evaluator.run(debug=args.debug, model_id=args.model,
+                                 config_with_json=True, dir_json=args.dir_json)
+        if args.grid:
+            return evaluator.grid_run(debug=args.debug, model_id=args.model,
+                                      data_id=args.data_id or "SyntheticMQ",
+                                      dir_data=args.dir_data, dir_output=args.dir_output)
+        return evaluator.point_run(
             model_id=args.model, data_id=args.data_id or "SyntheticMQ",
             dir_data=args.dir_data, dir_output=args.dir_output,
             debug=args.debug, epochs=args.epochs,
@@ -52,17 +59,35 @@ def main(argv=None):
     if args.model in LTR_TREE_MODELS:
         from ptranking_tpu.tree import TreeLTREvaluator
         evaluator = TreeLTREvaluator()
-        return evaluator.kfold_cv_eval(
+        if args.dir_json:
+            return evaluator.run(debug=args.debug, model_id=args.model,
+                                 config_with_json=True, dir_json=args.dir_json)
+        if args.grid:
+            return evaluator.grid_run(debug=args.debug, model_id=args.model,
+                                      data_id=args.data_id or "SyntheticMQ",
+                                      dir_data=args.dir_data, dir_output=args.dir_output)
+        return evaluator.point_run(
             model_id=args.model, data_id=args.data_id or "SyntheticMQ",
             dir_data=args.dir_data, dir_output=args.dir_output, debug=args.debug,
         )
     if args.model in LTR_DIV_MODELS:
         from ptranking_tpu.diversification import DivLTREvaluator
         evaluator = DivLTREvaluator()
-        return evaluator.div_cv_eval(
-            model_id=args.model, data_id=args.data_id or "SyntheticDiv",
+        if args.dir_json:
+            return evaluator.run(debug=args.debug, model_id=args.model, sf_id=args.sf_id,
+                                 config_with_json=True, dir_json=args.dir_json,
+                                 reproduce=args.reproduce)
+        if args.grid:
+            return evaluator.grid_run(debug=args.debug, model_id=args.model,
+                                      sf_id=args.sf_id,
+                                      data_id=args.data_id or "SyntheticDiv",
+                                      dir_data=args.dir_data, dir_output=args.dir_output)
+        return evaluator.point_run(
+            model_id=args.model, sf_id=args.sf_id,
+            data_id=args.data_id or "SyntheticDiv",
             dir_data=args.dir_data, dir_output=args.dir_output,
             debug=args.debug, epochs=args.epochs, write_run_files=True,
+            reproduce=args.reproduce,
         )
 
     evaluator = LTREvaluator(cuda=args.cuda)

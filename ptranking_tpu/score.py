@@ -51,7 +51,7 @@ def score_file(ckpt: str, in_path: str, out_path: str, data_id: str = "GLTR_LETO
                     continue  # all-padded remainder row
                 n = int(mask[i].sum())
                 order = np.argsort(-scores[i, :n], kind="stable")
-                qid = _qid_for(ds, batch, i)
+                qid = ds.qid_for(batch, i)
                 ids = docids.get(qid)
                 for rank, j in enumerate(order, start=1):
                     docid = ids[j] if ids is not None else f"{qid}-d{j}"
@@ -81,15 +81,6 @@ def _docids_by_qid(in_path: str, data_id: str):
     for qid, docid in zip(parsed[2], parsed[3]):
         out.setdefault(qid, []).append(docid)
     return out
-
-
-def _qid_for(ds, batch, i):
-    """Map a batch row back to its qid string via the dataset's bucket maps."""
-    # RankingBatch.qids holds the per-bucket query index; buckets are keyed by
-    # padded length == batch features' second dim
-    bucket = batch.features.shape[1]
-    idx = int(np.asarray(batch.qids)[i])
-    return ds._qid_strs[bucket][idx]
 
 
 def main(argv=None):

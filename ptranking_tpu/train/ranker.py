@@ -181,6 +181,15 @@ class AdhocRanker:
     def predict(self, batch: RankingBatch) -> jnp.ndarray:
         return self._compiled_predict(self.params, batch.features, batch.mask)
 
+    def stop_training(self, batch: RankingBatch) -> bool:
+        """NaN/all-zero prediction guard on one batch (reference
+        stop_training, base/ranker.py:547-561): True = training has failed."""
+        scores = self._compiled_predict(self.params, batch.features, batch.mask)
+        masked = jnp.where(batch.mask, scores, 0.0)
+        finite = bool(jnp.all(jnp.isfinite(masked)))
+        nonzero = bool(jnp.any(masked != 0.0))
+        return (not finite) or (not nonzero)
+
     # ------------------------------------------------------------------ eval
 
     def evaluate(self, batches: Iterable[RankingBatch], ks=(1, 3, 5, 10, 20, 50)) -> Dict[str, np.ndarray]:

@@ -16,6 +16,11 @@ from ptranking_tpu.tree.lambdamart import (
     queries_to_flat,
     save_libsvm,
 )
+from ptranking_tpu.tree.settings import (
+    TreeDataSetting,
+    TreeEvalSetting,
+    TreeModelSetting,
+)
 from ptranking_tpu.tree.evaluator import LTR_TREE_MODELS, TreeLTREvaluator, cal_metric_at_ks
 
 __all__ = [
@@ -23,5 +28,6 @@ __all__ = [
     "custom_obj_ranknet", "per_query_grad_hess_lambda", "per_query_grad_hess_listnet",
     "DEFAULT_LIGHTGBM_PARAS", "HAS_LIGHTGBM", "LightGBMLambdaMART",
     "load_libsvm", "queries_to_flat", "save_libsvm",
+    "TreeDataSetting", "TreeEvalSetting", "TreeModelSetting",
     "LTR_TREE_MODELS", "TreeLTREvaluator", "cal_metric_at_ks",
 ]

@@ -131,7 +131,10 @@ def grow_tree(
         gr, hr = gt - gl, ht - hl
 
         def score(g, h):
-            return jnp.square(g) / (h + l2)
+            # 0/0 guard: an empty child with l2=0 must score 0, not NaN —
+            # NaN gains would make argmax pick arbitrary splits over the no-op
+            denom = h + l2
+            return jnp.where(denom > 0, jnp.square(g) / jnp.where(denom > 0, denom, 1.0), 0.0)
 
         gain = score(gl, hl) + score(gr, hr) - score(gt, ht)  # [nodes, F, bins]
         ok = (hl >= min_child_hessian) & (hr >= min_child_hessian)

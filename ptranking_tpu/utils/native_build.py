@@ -18,6 +18,21 @@ from typing import List, Optional
 _LOCK = threading.Lock()
 
 
+def _artifact_usable(out: str) -> bool:
+    """Reject a stale artifact built for another platform (e.g. restored from
+    a checkout with fresh mtimes): exec-probe binaries, dlopen-probe .so."""
+    try:
+        if out.endswith(".so"):
+            import ctypes
+
+            ctypes.CDLL(out)
+        else:
+            subprocess.run([out], capture_output=True, timeout=10)
+        return True
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+
+
 def find_cxx() -> Optional[str]:
     return (os.environ.get("CXX") or shutil.which("g++")
             or shutil.which("c++") or shutil.which("clang++"))
@@ -31,7 +46,8 @@ def build_native(src: str, out: str, extra_flags: Optional[List[str]] = None,
         return None
     with _LOCK:
         if not rebuild and os.path.exists(out) and \
-                os.path.getmtime(out) >= os.path.getmtime(src):
+                os.path.getmtime(out) >= os.path.getmtime(src) and \
+                _artifact_usable(out):
             return out
         cxx = find_cxx()
         if cxx is None:

@@ -1,5 +1,7 @@
 """Adversarial branch tests: utils, all six machines, end-to-end CV."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -102,7 +104,109 @@ def test_irgan_point_improves_generator():
 
 def test_ad_cv_end_to_end(tmp_path):
     ev = AdLTREvaluator()
-    cv = ev.ad_cv_eval("IRGAN_Point", data_id="SyntheticMQ", dir_output=str(tmp_path),
-                       debug=True, epochs=2, batch_docs=256)
+    cv = ev.point_run(model_id="IRGAN_Point", data_id="SyntheticMQ",
+                      dir_output=str(tmp_path), debug=True, epochs=2)
     assert cv["G"].shape == (6,) and cv["D"].shape == (6,)
     assert np.all(np.isfinite(cv["G"]))
+    # run dir encodes the para string (reference to_para_string run dirs)
+    walked = [d for _, ds, _ in os.walk(tmp_path) for d in ds]
+    assert any(d.startswith("IRGAN_Point_SF_") for d in walked), walked
+
+
+# --- pair samplers (reference pair_sampling.py:27-150) -----------------------
+
+
+def test_generate_true_pairs_distribution():
+    """Sampled pair frequencies match the analytic discounted-diff probs."""
+    from ptranking_tpu.adversarial.util import (
+        generate_true_pairs, weighted_clipped_pos_diffs)
+
+    labels = jnp.asarray([[2.0, 1.0, 0.0, 0.0]])
+    mask = jnp.ones((1, 4), bool)
+    w = np.asarray(weighted_clipped_pos_diffs(labels, mask))[0]
+    probs = w / w.sum()
+    key = jax.random.PRNGKey(3)
+    head, tail, has = generate_true_pairs(key, labels, mask, 4000)
+    assert bool(has[0])
+    h, t = np.asarray(head)[0], np.asarray(tail)[0]
+    # heads always strictly higher-labeled than tails
+    lab = np.asarray(labels)[0]
+    assert np.all(lab[h] > lab[t])
+    emp = np.zeros_like(probs)
+    for i, j in zip(h, t):
+        emp[i, j] += 1
+    emp /= emp.sum()
+    np.testing.assert_allclose(emp, probs, atol=0.03)
+
+
+def test_sample_pairs_bt_distribution():
+    from ptranking_tpu.adversarial.util import sample_pairs_bt
+
+    vals = jnp.asarray([[3.0, 0.0, -3.0]])
+    mask = jnp.ones((1, 3), bool)
+    head, tail = sample_pairs_bt(jax.random.PRNGKey(5), vals, mask, 3000)
+    h = np.asarray(head)[0]
+    # sigmoid(3-(-3))=0.998 vs sigmoid(-6)=0.002: high-value heads dominate
+    frac_high_head = np.mean(np.asarray(vals)[0][h] > np.asarray(vals)[0][np.asarray(tail)[0]])
+    assert frac_high_head > 0.65, frac_high_head
+
+
+def test_sample_pairs_gaussian_runs_and_respects_mask():
+    from ptranking_tpu.adversarial.util import sample_pairs_gaussian
+
+    vals = jnp.asarray([[2.0, 1.0, 0.0, 9.9]])
+    mask = jnp.asarray([[True, True, True, False]])
+    head, tail = sample_pairs_gaussian(jax.random.PRNGKey(7), vals, mask, 500, sigma=1.0)
+    assert int(np.asarray(head).max()) <= 2 and int(np.asarray(tail).max()) <= 2
+
+
+def test_gaussian_integral_closed_form():
+    """Phi(mu/sigma)/sigma — the closed form of the reference's quad()
+    integral incl. its 1/sigma quirk (pt_extensions.py:112-132)."""
+    from ptranking_tpu.adversarial.util import gaussian_integral_0_inf
+
+    out = float(gaussian_integral_0_inf(jnp.asarray(0.0), 2.0))
+    np.testing.assert_allclose(out, 0.5 / 2.0, rtol=1e-6)
+    big = float(gaussian_integral_0_inf(jnp.asarray(100.0), 1.0))
+    np.testing.assert_allclose(big, 1.0, rtol=1e-5)
+
+
+def _small_ds(seed=3):
+    qs = make_synthetic_queries(num_queries=16, num_features=24, seed=seed,
+                                min_docs=8, max_docs=16)
+    return BucketedDataset(qs, batch_docs=256, num_features=24)
+
+
+@pytest.mark.parametrize("scheme", ["discounted", "BT", "Gaussian"])
+def test_irgan_pair_truth_sampling_variants(scheme):
+    """IRGAN_Pair trains (and stays finite) under each truth-side sampler."""
+    import dataclasses
+
+    ds = _small_ds()
+    sf = SFSetting(debug=True, sf_id="pointsf")
+    sf_para = sf.default_setting(num_features=24)
+    sf_para["scorer"] = dataclasses.replace(
+        sf_para["scorer"], num_features=24, num_layers=2, h_dim=16, dropout=0.0)
+    m = AD_MACHINES["IRGAN_Pair"](
+        sf_para=sf_para,
+        ad_para_dict=dict(AD_DEFAULT_PARAS["IRGAN_Pair"], truth_sampling=scheme),
+        seed=3)
+    assert m.truth_sampling == scheme
+    for epoch in range(2):
+        stop = m.mini_max_train(train_data=list(ds.batches(shuffle=True, epoch=epoch)))
+        assert not stop
+    v = m.get_generator().validation(ds.batches(), k=5)
+    assert np.isfinite(v)
+
+
+def test_generator_stop_guard():
+    """stop_training flags NaN or all-zero generator predictions (reference
+    base/ranker.py:547-561, checked per epoch in ltr_adversarial.py:129-146)."""
+    ds = _small_ds()
+    machine = make_machine("IRGAN_Point")
+    g = machine.get_generator()
+    batch = next(iter(ds.batches()))
+    assert g.stop_training(batch) in (False, True)  # runs
+    # poison the params -> NaN predictions must trip the guard
+    g.params = jax.tree_util.tree_map(lambda a: jnp.full_like(a, jnp.nan), g.params)
+    assert g.stop_training(batch) is True

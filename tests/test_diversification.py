@@ -9,6 +9,7 @@ from ptranking_tpu.diversification import (
     DIV_LOSSES,
     DivBucketedDataset,
     DivLTREvaluator,
+    DivQuery,
     DivRanker,
     DivScorerConfig,
     div_forward,
@@ -128,27 +129,49 @@ def test_div_ranker_trains(model_id, paras):
 
 def test_div_cv_end_to_end(tmp_path):
     ev = DivLTREvaluator()
-    cv = ev.div_cv_eval("DALETOR", data_id="SyntheticDiv", dir_output=str(tmp_path),
-                        debug=True, epochs=2, batch_queries=8,
-                        model_paras={"rt": 10.0, "top_k": 10})
+    cv = ev.point_run(model_id="DALETOR", data_id="SyntheticDiv",
+                      dir_output=str(tmp_path), debug=True, epochs=2,
+                      model_paras={"rt": 10.0, "top_k": 10}, batch_queries=8)
     assert cv["aNDCG"].shape == (5,)
     assert 0.0 < cv["aNDCG"][2] <= 1.0
 
 
 def test_trec_artifact_writers(tmp_path):
     from ptranking_tpu.diversification import write_div_qrels, write_trec_run
+    from ptranking_tpu.diversification.evaluator import build_topic_map
 
     qs = make_synthetic_div_queries(num_queries=2, num_features=8, min_docs=4, max_docs=5, seed=6)
+    topic_map = build_topic_map(qs)
+    # bijective: distinct qids -> distinct natural-number topics
+    assert len(set(topic_map.values())) == len(qs)
+    assert all(t.isdigit() for t in topic_map.values())
     qrels = tmp_path / "qrels.txt"
-    write_div_qrels(str(qrels), qs)
+    write_div_qrels(str(qrels), qs, topic_map)
     lines = qrels.read_text().splitlines()
     assert all(len(l.split()) == 4 for l in lines)
+    # real docnos appear in the qrels (not placeholder doc{j})
+    assert qs[0].docnos[0] in {l.split()[2] for l in lines}
 
     run = tmp_path / "run.txt"
-    write_trec_run(str(run), "q1", ["docA", "docB"], [0.9, 0.1])
+    write_trec_run(str(run), topic_map[qs[0].qid], ["docA", "docB"], [0.9, 0.1])
     rows = run.read_text().splitlines()
-    # qids are normalized to numeric TREC topics (ndeval contract)
-    assert rows[0].split()[:4] == ["1", "Q0", "docA", "1"]
+    assert rows[0].split()[:4] == [topic_map[qs[0].qid], "Q0", "docA", "1"]
+
+
+def test_topic_map_collision_safe():
+    """qids whose trailing digits collide ('wt09-3' vs 'wt10-3') must NOT be
+    merged into one topic (advisor finding r1)."""
+    from ptranking_tpu.diversification.evaluator import build_topic_map
+
+    qs = [DivQuery(q, np.zeros(4, np.float32), np.zeros((2, 4), np.float32),
+                   np.zeros((1, 2), np.float32), ("a", "b"))
+          for q in ("wt09-3", "wt10-3")]
+    m = build_topic_map(qs)
+    assert m["wt09-3"] != m["wt10-3"]
+    # collision-free real TREC numbers are preserved verbatim
+    qs2 = [qs[0]._replace(qid="wt09-3"), qs[0]._replace(qid="wt09-17")]
+    m2 = build_topic_map(qs2)
+    assert m2 == {"wt09-3": "3", "wt09-17": "17"}
 
 
 def test_rerank_queries_keeps_discriminator_topk():
@@ -182,6 +205,7 @@ def test_div_cv_eval_rerank_mode(tmp_path):
     from ptranking_tpu.diversification import DivLTREvaluator
 
     ev = DivLTREvaluator()
-    cv = ev.div_cv_eval("DALETOR", data_id="SyntheticDiv", debug=True, epochs=2,
-                        dir_output=str(tmp_path), rerank_top_k=8)
+    cv = ev.point_run(model_id="DALETOR", data_id="SyntheticDiv", debug=True,
+                      epochs=2, dir_output=str(tmp_path),
+                      rerank=True, rerank_k=8)
     assert "aNDCG" in cv

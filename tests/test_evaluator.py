@@ -89,6 +89,30 @@ def test_model_grid_iterates():
     grids = list(ms.grid_search())
     assert len(grids) >= 1
     assert all("loss_type" in g for g in grids)
+    # reference nuance: mu applies only to NDCG_Loss2++ (lambdaloss.py grid)
+    assert all("mu" not in g for g in grids if g["loss_type"] != "NDCG_Loss2++")
+
+
+def test_reference_grid_choices():
+    """Built-in grids carry the reference's actual search axes: debug
+    RankNet/LambdaRank sweep sigma [5.0, 1.0] (ranknet.py:73-84), and the SF
+    grid sweeps AF/TL_AF over the reference's activation lists
+    (parameter.py:185-192)."""
+    from ptranking_tpu.eval.settings import SFSetting
+
+    grids = list(ModelSetting("RankNet", debug=True).grid_search())
+    assert sorted(g["sigma"] for g in grids) == [1.0, 5.0]
+    grids_nd = list(ModelSetting("RankNet", debug=False).grid_search())
+    assert [g["sigma"] for g in grids_nd] == [1.0]
+    assert list(ModelSetting("MDPRank", debug=False).grid_search())[0]["top_k"] == 10
+
+    sf = SFSetting(debug=False, sf_id="pointsf")
+    combos = list(sf.grid_search(num_features=8))
+    afs = {(p["scorer"].AF, p["scorer"].TL_AF) for p in combos}
+    assert len(combos) == 9 and afs == {(a, b) for a in "R CE S".split()
+                                        for b in "R CE S".split()}
+    sf_dbg = SFSetting(debug=True, sf_id="pointsf")
+    assert len(list(sf_dbg.grid_search(num_features=8))) == 4
 
 
 def test_unknown_model_rejected():

@@ -75,3 +75,16 @@ def test_sinkstep_pallas_matches_lax():
     ref = log_sinkstep(-cost / lam, _safe_log(mu), log_u)
     ours = sinkstep_pallas(cost, _safe_log(mu), log_u, lam, interpret=True)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_sinkstep_pallas_column_tiling():
+    # N > tile exercises the column-slab path incl. a non-divisible remainder
+    B, N, tile = 2, 50, 16
+    k1, k2, k3 = jax.random.split(KEY, 3)
+    cost = jnp.abs(jax.random.normal(k1, (B, N, N)))
+    mu = jax.nn.softmax(jax.random.normal(k2, (B, N)))
+    log_u = _safe_log(jax.nn.softmax(jax.random.normal(k3, (B, N))))
+    lam = 0.3
+    ref = log_sinkstep(-cost / lam, _safe_log(mu), log_u)
+    ours = sinkstep_pallas(cost, _safe_log(mu), log_u, lam, interpret=True, tile=tile)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=1e-5)

@@ -107,7 +107,7 @@ def test_lightgbm_end_to_end(tmp_path):
     from ptranking_tpu.tree import TreeLTREvaluator
 
     ev = TreeLTREvaluator()
-    cv = ev.kfold_cv_eval(data_id="SyntheticMQ", dir_output=str(tmp_path), debug=True)
+    cv = ev.point_run(data_id="SyntheticMQ", dir_output=str(tmp_path), debug=True)
     assert cv["nDCG"].shape == (6,)
 
 
@@ -218,7 +218,7 @@ def test_tree_evaluator_native_fallback(tmp_path):
     from ptranking_tpu.tree import TreeLTREvaluator
 
     ev = TreeLTREvaluator()
-    cv = ev.kfold_cv_eval(model_id="TPUGBDTLambdaMART", data_id="SyntheticMQ",
-                          dir_output=str(tmp_path), debug=True)
+    cv = ev.point_run(model_id="TPUGBDTLambdaMART", data_id="SyntheticMQ",
+                      dir_output=str(tmp_path), debug=True)
     assert cv["nDCG"].shape == (6,)
     assert cv["nDCG"][2] > 0.3
