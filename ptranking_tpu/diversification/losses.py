@@ -157,28 +157,33 @@ def prob_pair_cls_loss(mus, vars_, rele_mat, doc_mask, cocos=None,
 # --------------------------------------------------------------- Portfolio
 
 
-def _project_simplex(w, doc_mask, max_weight: float = 1.0):
-    """Differentiable-ish projection onto {w >= 0, w <= max, sum w = 1} over
-    real docs via normalized clipping iterations."""
+def _project_simplex(w, doc_mask):
+    """EXACT Euclidean projection of each row onto the masked probability
+    simplex {w >= 0, sum over real docs = 1} (the sort-based algorithm of
+    Held/Wolfe/Crowder). Differentiable a.e.; pads are forced to zero."""
+    N = w.shape[-1]
+    big = -1e9
+    wm = jnp.where(doc_mask > 0, w, big)
+    u = jnp.sort(wm, axis=-1)[..., ::-1]                       # desc
+    css = jnp.cumsum(u, axis=-1) - 1.0
+    j = jnp.arange(1, N + 1, dtype=w.dtype)
+    cond = (u - css / j) > 0                                    # active set
+    rho = jnp.maximum(jnp.sum(cond, axis=-1) - 1, 0)            # [B]
+    theta = jnp.take_along_axis(css, rho[..., None], axis=-1) / (
+        rho[..., None].astype(w.dtype) + 1.0)
+    return jnp.clip(w - theta, 0.0, None) * doc_mask
 
-    def body(_, w):
-        w = jnp.clip(w, 0.0, max_weight) * doc_mask
-        s = jnp.maximum(jnp.sum(w, -1, keepdims=True), _EPS)
-        return w / s
 
-    return jax.lax.fori_loop(0, 4, body, w)
-
-
-def portfolio_loss(mus, vars_, rele_mat, doc_mask, cocos=None, rt: float = 10.0,
-                   top_k: Optional[int] = 10, alpha_reg: float = 0.01,
-                   gamma: float = 0.1, n_qp_iters: int = 30, **_):
-    """Mean-variance portfolio scoring, then DALETOR loss on the weights.
-
-    The reference solves max_w ret.w - ||gamma Cov w||^2 - alpha ||w||^2 on the
-    simplex with cvxpylayers (div_prob_ranker.py:268-287, 'Portfolio'). Here
-    the QP is solved by UNROLLED projected gradient ascent — fully
-    differentiable, jit/TPU-friendly, no host round-trip to a convex solver.
-    """
+def portfolio_weights(mus, vars_, doc_mask, cocos=None, alpha_reg: float = 0.01,
+                      gamma: float = 0.1, n_qp_iters: int = 50,
+                      lr: float = 0.1) -> jnp.ndarray:
+    """Solve the reference's mean-variance QP
+        max_w  mus.w - ||gamma Cov w||^2 - alpha ||w||^2
+        s.t.   sum w = 1, 0 <= w <= 1
+    (cvxpylayers problem, div_prob_ranker.py:268-287) by UNROLLED projected
+    gradient ascent with the exact simplex projection — fully differentiable,
+    jit/TPU-friendly, no host round-trip to a convex solver. Validated
+    against a scipy QP oracle in tests/test_diversification.py."""
     B, N = mus.shape
     if cocos is None:
         cov = jnp.eye(N)[None] * vars_[..., None]
@@ -192,10 +197,19 @@ def portfolio_loss(mus, vars_, rele_mat, doc_mask, cocos=None, rt: float = 10.0,
     def step(_, w):
         cw = jnp.einsum("bij,bj->bi", covg, w)
         grad = mus - 2.0 * jnp.einsum("bij,bj->bi", covg, cw) - 2.0 * alpha_reg * w
-        w = w + 0.1 * grad * m
+        w = w + lr * grad * m
         return _project_simplex(w, m)
 
-    w = jax.lax.fori_loop(0, n_qp_iters, step, w)
+    return jax.lax.fori_loop(0, n_qp_iters, step, w)
+
+
+def portfolio_loss(mus, vars_, rele_mat, doc_mask, cocos=None, rt: float = 10.0,
+                   top_k: Optional[int] = 10, alpha_reg: float = 0.01,
+                   gamma: float = 0.1, n_qp_iters: int = 50, **_):
+    """Mean-variance portfolio scoring (portfolio_weights), then DALETOR loss
+    on the weights (reference 'Portfolio' opt_id)."""
+    w = portfolio_weights(mus, vars_, doc_mask, cocos,
+                          alpha_reg=alpha_reg, gamma=gamma, n_qp_iters=n_qp_iters)
     return daletor_loss(w, rele_mat, doc_mask, rt=rt, top_k=top_k)
 
 

@@ -116,9 +116,13 @@ def apply_scorer(
     mask: jnp.ndarray,
     training: bool = False,
     key: Optional[jax.Array] = None,
+    cp=None,
 ) -> jnp.ndarray:
     """Score a padded batch: [B, N, F] -> [B, N]. Padded docs score garbage by
-    design — every consumer applies `mask`."""
+    design — every consumer applies `mask`.
+
+    cp (parallel.ring.CPPlan) routes the listsf MHSA through doc-axis context
+    parallelism (ring / Ulysses) — set by DistributedTrainer(shard_docs=True)."""
     out_dtype = x.dtype
     if cfg.compute_dtype == "bfloat16":
         cast = lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a
@@ -155,7 +159,7 @@ def apply_scorer(
             return _listsf.encoder_apply(
                 params["encoder"], v, mask, cfg.n_heads, cfg.encoder_type,
                 drop_rate=cfg.dropout, training=training, key=k_enc,
-                remat=cfg.remat, attn_block_size=cfg.attn_block_size,
+                remat=cfg.remat, attn_block_size=cfg.attn_block_size, cp=cp,
             )
 
         # Variant wiring mirrors reference ListNeuralRanker.forward

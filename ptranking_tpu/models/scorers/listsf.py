@@ -52,11 +52,18 @@ def mhsa_apply(
     training: bool = False,
     key: Optional[jax.Array] = None,
     attn_block_size: Optional[int] = None,
+    cp=None,
 ) -> jnp.ndarray:
     """Masked multi-head self-attention over the document axis.
 
     x: [B, N, F]; mask: [B, N]. Mirrors reference MultiheadAttention.forward
     (list_ranker.py:208-254) plus key-axis masking.
+
+    cp (a parallel.ring.CPPlan) routes the attention through the doc-axis
+    context-parallel exchange (ring ppermute or Ulysses all-to-all) so only
+    N/P-sized blocks of the [B, H, N, N] matrix ever exist per device.
+    Attention-probability dropout is skipped under CP (the matrix is never
+    materialised — same contract as flash attention).
     """
     B, N, F = x.shape
     d_head = F // n_heads
@@ -67,6 +74,14 @@ def mhsa_apply(
         return t.reshape(B, N, n_heads, d_head).transpose(0, 2, 1, 3)
 
     q, k, v = heads(q), heads(k), heads(v)
+    if cp is not None:
+        from ptranking_tpu.parallel.ring import ring_attention, ulysses_attention
+
+        fn = ring_attention if cp.impl == "ring" else ulysses_attention
+        out = fn(q, k, v, mask, cp.mesh, axis_name=cp.axis_name,
+                 batch_axis=cp.batch_axis)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, F)
+        return linear_apply(p["fc"], out)
     if attn_block_size is not None and N > attn_block_size:
         # flash-style blockwise path for ultra-long lists: O(N*block) memory;
         # attention-probability dropout is applied inside the blocks (exact
@@ -152,6 +167,7 @@ def encoder_apply(
     key: Optional[jax.Array] = None,
     remat: bool = False,
     attn_block_size: Optional[int] = None,
+    cp=None,
 ) -> jnp.ndarray:
     """Encoder wiring per variant (reference Encoder/EncoderLayer/
     SublayerConnection, list_ranker.py:53-149):
@@ -170,16 +186,16 @@ def encoder_apply(
         """Apply ONE encoder layer (shared by the unrolled and scan paths)."""
         if encoder_type == "AllRank":
             h = layer_norm_apply(layer["ln1"], x)
-            h = mhsa_apply(layer["mhsa"], h, mask, n_heads, drop_rate, training, k0, attn_block_size)
+            h = mhsa_apply(layer["mhsa"], h, mask, n_heads, drop_rate, training, k0, attn_block_size, cp)
             x = x + dropout(k1, h, drop_rate, training)
             h = layer_norm_apply(layer["ln2"], x)
             h = pff_apply(layer["fc"], h, drop_rate, training, k2)
             x = x + dropout(k3, h, drop_rate, training)  # independent of k1
         elif encoder_type == "DASALC":
-            h = mhsa_apply(layer["mhsa"], x, mask, n_heads, drop_rate, training, k0, attn_block_size)
+            h = mhsa_apply(layer["mhsa"], x, mask, n_heads, drop_rate, training, k0, attn_block_size, cp)
             x = layer_norm_apply(layer["ln"], h)
         elif encoder_type == "AttnDIN":
-            h = mhsa_apply(layer["mhsa"], x, mask, n_heads, drop_rate, training, k0, attn_block_size)
+            h = mhsa_apply(layer["mhsa"], x, mask, n_heads, drop_rate, training, k0, attn_block_size, cp)
             x = layer_norm_apply(layer["ln"], x + h)
         else:
             raise NotImplementedError(encoder_type)

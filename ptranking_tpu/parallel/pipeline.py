@@ -18,7 +18,17 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.8 moved shard_map out of experimental
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+# jax >= 0.8 renamed check_rep -> check_vma; pass whichever exists
+import inspect as _inspect
+
+_SM_NOCHECK = ({"check_vma": False}
+               if "check_vma" in _inspect.signature(shard_map).parameters
+               else {"check_rep": False})
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -68,7 +78,7 @@ def gpipe(
         mesh=mesh,
         in_specs=(spec_params, P()),          # xs replicated to all stages
         out_specs=P(axis_name),               # [P, T, ...] stacked by stage
-        check_rep=False,
+        **_SM_NOCHECK,
     )(stage_params, xs)
     # stage P-1 produced microbatch m at tick m + (P-1)
     return out[num_stages - 1, num_stages - 1:]

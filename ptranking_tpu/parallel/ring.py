@@ -20,13 +20,38 @@ against models/scorers/listsf.mhsa_apply's core on a CPU mesh).
 
 from __future__ import annotations
 
+from typing import NamedTuple, Optional
+
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.8 moved shard_map out of experimental
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+# jax >= 0.8 renamed check_rep -> check_vma; pass whichever exists
+import inspect as _inspect
+
+_SM_NOCHECK = ({"check_vma": False}
+               if "check_vma" in _inspect.signature(shard_map).parameters
+               else {"check_rep": False})
 from jax.sharding import Mesh, PartitionSpec as P
 
 # block math shared with the single-chip blockwise path (ops/attention.py)
 from ptranking_tpu.ops.attention import online_combine, sdpa_block as _sdpa_block
+
+
+class CPPlan(NamedTuple):
+    """Context-parallel plan threaded through apply_scorer into the MHSA
+    blocks (and picked up by DistributedTrainer's pairwise-loss path): which
+    mesh, which mesh axis shards the doc axis, which attention exchange to
+    use, and which axis (if any) shards the batch (so the shard_map specs
+    keep DP intact instead of gathering the batch)."""
+
+    mesh: Mesh
+    axis_name: str = "seq"
+    impl: str = "ring"  # 'ring' | 'ulysses'
+    batch_axis: Optional[str] = "data"
 
 
 def ring_attention(
@@ -36,6 +61,7 @@ def ring_attention(
     mask: jnp.ndarray,  # [B, N] — sharded like N
     mesh: Mesh,
     axis_name: str = "seq",
+    batch_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Exact doc-axis-sharded attention; output sharded like q."""
     P_ = mesh.shape[axis_name]
@@ -64,12 +90,12 @@ def ring_attention(
         out = num / jnp.maximum(denom, 1e-30)[..., None]
         return out.astype(q_l.dtype)
 
-    spec_qkv = P(None, None, axis_name, None)
-    spec_m = P(None, axis_name)
+    spec_qkv = P(batch_axis, None, axis_name, None)
+    spec_m = P(batch_axis, axis_name)
     return shard_map(
         per_device, mesh=mesh,
         in_specs=(spec_qkv, spec_qkv, spec_qkv, spec_m),
-        out_specs=spec_qkv, check_rep=False,
+        out_specs=spec_qkv, **_SM_NOCHECK,
     )(q, k, v, mask)
 
 
@@ -80,6 +106,7 @@ def ulysses_attention(
     mask: jnp.ndarray,  # [B, N]
     mesh: Mesh,
     axis_name: str = "seq",
+    batch_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """All-to-all CP: swap shard axis docs->heads, full attention, swap back."""
     P_ = mesh.shape[axis_name]
@@ -102,12 +129,12 @@ def ulysses_attention(
         out = num / jnp.maximum(denom, 1e-30)[..., None]
         return swap_out(out.astype(q_l.dtype))
 
-    spec_qkv = P(None, None, axis_name, None)
-    spec_m = P(None, axis_name)
+    spec_qkv = P(batch_axis, None, axis_name, None)
+    spec_m = P(batch_axis, axis_name)
     return shard_map(
         per_device, mesh=mesh,
         in_specs=(spec_qkv, spec_qkv, spec_qkv, spec_m),
-        out_specs=spec_qkv, check_rep=False,
+        out_specs=spec_qkv, **_SM_NOCHECK,
     )(q, k, v, mask)
 
 
@@ -127,6 +154,7 @@ def ring_lambda_loss(
     sigma: float = 1.0,
     weighted: bool = True,
     axis_name: str = "seq",
+    batch_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Doc-axis-sharded LambdaRank/RankNet pairwise loss.
 
@@ -176,12 +204,20 @@ def ring_lambda_loss(
 
         init = (s_l, l_l, g_l, m_l, jnp.zeros((), jnp.float32))
         acc = jax.lax.scan(step, init, jnp.arange(P_))[0][-1]
-        return jax.lax.psum(acc, axis_name)[None]
+        # total over the pair space AND, when the batch is data-sharded, over
+        # the batch shards — every device then holds the identical scalar
+        if batch_axis is None:
+            axes = (axis_name,)
+        elif isinstance(batch_axis, (tuple, list)):
+            axes = (axis_name, *batch_axis)
+        else:
+            axes = (axis_name, batch_axis)
+        return jax.lax.psum(acc, axes)[None]
 
-    spec = P(None, axis_name)
+    spec = P(batch_axis, axis_name)
     out = shard_map(
         per_device, mesh=mesh,
         in_specs=(spec, spec, spec, spec),
-        out_specs=P(axis_name), check_rep=False,
+        out_specs=P(axis_name), **_SM_NOCHECK,
     )(sorted_scores, sorted_labels, n_gains, mask)
     return out[0]

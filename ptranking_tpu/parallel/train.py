@@ -27,8 +27,16 @@ class DistributedTrainer:
     """Mesh-parallel counterpart of train.AdhocRanker.
 
     tp=True shards the scorer weights over the `model` axis;
-    shard_docs=True additionally shards the document axis over `seq` (CP).
+    shard_docs=True additionally shards the document axis over `seq` (CP):
+    the listsf MHSA runs through ring/Ulysses attention and the pairwise
+    losses (LambdaRank/RankNet) through the blockwise ring pair loss, so the
+    [B, H, N, N] attention and [B, N, N] pair matrices only ever exist as
+    N/P-sized blocks per device (SURVEY §5.7) — XLA auto-gather is used only
+    for the cheap [B, N] score-row sort.
     """
+
+    # model ids whose [B, N, N] pairwise loss routes through ring_lambda_loss
+    CP_PAIR_LOSSES = ("LambdaRank", "RankNet")
 
     def __init__(
         self,
@@ -40,6 +48,7 @@ class DistributedTrainer:
         label_type: LabelType = LabelType.MultiLabel,
         tp: bool = False,
         shard_docs: bool = False,
+        cp_impl: str = "ring",  # 'ring' | 'ulysses' attention exchange
         seed: int = 137,
     ):
         self.model_id = model_id
@@ -51,6 +60,8 @@ class DistributedTrainer:
         self.label_type = label_type
         self.tp = tp
         self.shard_docs = shard_docs
+        assert cp_impl in ("ring", "ulysses")
+        self.cp_impl = cp_impl
         self.seed = seed
         self.stochastic = model_id in STOCHASTIC
 
@@ -105,6 +116,52 @@ class DistributedTrainer:
         return jax.tree_util.tree_unflatten(
             treedef, [pick(path, leaf) for path, leaf in flat])
 
+    def _cp_plan(self):
+        """CPPlan for the scorer's MHSA under shard_docs (listsf only)."""
+        if not (self.shard_docs and self.scorer_cfg.sf_id.startswith("listsf")):
+            return None
+        from ptranking_tpu.parallel.ring import CPPlan
+
+        batch_axes = ("dcn", "data") if "dcn" in self.mesh.axis_names else "data"
+        return CPPlan(self.mesh, axis_name="seq", impl=self.cp_impl,
+                      batch_axis=batch_axes)
+
+    def _cp_pair_loss(self):
+        """Doc-axis-sharded LambdaRank/RankNet: sort the cheap [B, N] score
+        rows (XLA gathers scalars, not matrices), then accumulate the pair BCE
+        blockwise around the ring (parallel/ring.py ring_lambda_loss). Exactly
+        matches losses.{lambda_rank,ranknet} (equivalence-tested)."""
+        from ptranking_tpu.ops import gain as label_gain
+        from ptranking_tpu.ops.sorting import sort_labels_by_scores
+        from ptranking_tpu.parallel.ring import ring_lambda_loss
+
+        model_id, label_type = self.model_id, self.label_type
+        sigma = float(self.model_paras.get("sigma", 1.0))
+        mesh = self.mesh
+        batch_axes = ("dcn", "data") if "dcn" in mesh.axis_names else "data"
+
+        def cp_loss(scores, labels, mask):
+            if model_id == "RankNet":
+                # pairs over the given (label-presorted) order, unweighted
+                zeros = jnp.zeros_like(scores)
+                return ring_lambda_loss(scores, labels, zeros, mask, mesh,
+                                        sigma=sigma, weighted=False,
+                                        batch_axis=batch_axes)
+            # LambdaRank: pairs over the predicted order with |ΔnDCG| weights
+            s_sorted, l_sorted, m_sorted = sort_labels_by_scores(scores, labels, mask)
+            gains = label_gain(jnp.where(mask, labels, 0.0), label_type)
+            n = labels.shape[-1]
+            discounts = 1.0 / jnp.log2(jnp.arange(n, dtype=labels.dtype) + 2.0)
+            idcg = jnp.maximum(
+                jnp.sum(gains * discounts * mask, axis=-1, keepdims=True), 1e-12)
+            pred_gains = label_gain(jnp.where(m_sorted, l_sorted, 0.0), label_type)
+            n_gains = jnp.where(m_sorted, pred_gains / idcg, 0.0)
+            return ring_lambda_loss(s_sorted, l_sorted, n_gains, m_sorted, mesh,
+                                    sigma=sigma, weighted=True,
+                                    batch_axis=batch_axes)
+
+        return cp_loss
+
     def _compile(self):
         scorer_cfg, loss_fn, paras = self.scorer_cfg, self.loss_fn, self.model_paras
         label_type, stochastic = self.label_type, self.stochastic
@@ -112,12 +169,19 @@ class DistributedTrainer:
         rep = replicated(self.mesh)
         bsh = self._batch_sharding
         mask_sh = jax.sharding.NamedSharding(self.mesh, bsh.spec)  # [B, N] same spec
+        cp = self._cp_plan()
+        cp_loss = (self._cp_pair_loss()
+                   if self.shard_docs and self.model_id in self.CP_PAIR_LOSSES
+                   else None)
 
         def step(params, opt_state, key, features, labels, mask):
             k_drop, k_loss = jax.random.split(key)
 
             def loss_of(p):
-                scores = apply_scorer(p, scorer_cfg, features, mask, training=True, key=k_drop)
+                scores = apply_scorer(p, scorer_cfg, features, mask, training=True,
+                                      key=k_drop, cp=cp)
+                if cp_loss is not None:
+                    return cp_loss(scores, labels, mask)
                 kw = {"key": k_loss} if stochastic else {}
                 return loss_fn(scores, labels, mask, label_type=label_type, **paras, **kw)
 
@@ -135,7 +199,8 @@ class DistributedTrainer:
         )
 
         def eval_batch(params, features, labels, mask, ks):
-            scores = apply_scorer(params, scorer_cfg, features, mask, training=False)
+            scores = apply_scorer(params, scorer_cfg, features, mask,
+                                  training=False, cp=cp)
             out = evaluate_all_at_ks(scores, labels, mask, ks, label_type)
             sums = {m: jnp.sum(out[m], axis=0) for m in ("nDCG", "nERR", "AP", "P")}
             sums["count"] = jnp.sum(jnp.any(mask, axis=-1).astype(jnp.float32))

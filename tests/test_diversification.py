@@ -209,3 +209,61 @@ def test_div_cv_eval_rerank_mode(tmp_path):
                       epochs=2, dir_output=str(tmp_path),
                       rerank=True, rerank_k=8)
     assert "aNDCG" in cv
+
+
+def test_portfolio_pgd_matches_qp_oracle():
+    """The unrolled PGD solver reaches the QP optimum (VERDICT r1 #8): on
+    random instances, its objective matches a scipy SLSQP solve of the
+    reference cvxpylayers problem (div_prob_ranker.py:268-287) and the exact
+    simplex projection is correct."""
+    from scipy.optimize import minimize
+
+    from ptranking_tpu.diversification.losses import (
+        _project_simplex, portfolio_weights)
+
+    rng = np.random.RandomState(7)
+    B, N = 4, 20
+    mus = jnp.asarray(rng.randn(B, N).astype(np.float32))
+    vars_ = jnp.asarray(rng.uniform(0.1, 1.0, (B, N)).astype(np.float32))
+    mask = np.ones((B, N), bool)
+    mask[1, 14:] = False  # one short list
+    mask_j = jnp.asarray(mask)
+    alpha_reg, gamma = 0.01, 0.1
+
+    w = np.asarray(portfolio_weights(mus, vars_, mask_j, alpha_reg=alpha_reg,
+                                     gamma=gamma, n_qp_iters=200))
+    # feasibility
+    np.testing.assert_allclose(w.sum(axis=-1), 1.0, atol=1e-5)
+    assert (w >= -1e-7).all() and (w[~mask] == 0).all()
+
+    def objective(b):
+        covg = gamma * np.diag(np.asarray(vars_)[b])
+
+        def f(x):
+            return -(np.asarray(mus)[b] @ x - np.sum((covg @ x) ** 2)
+                     - alpha_reg * np.sum(x * x))
+        return f
+
+    for b in range(B):
+        n = int(mask[b].sum())
+        f = objective(b)
+        x0 = np.ones(N) * mask[b] / n
+        res = minimize(f, x0, method="SLSQP",
+                       bounds=[(0.0, 1.0 if mask[b, i] else 0.0) for i in range(N)],
+                       constraints=[{"type": "eq", "fun": lambda x: x.sum() - 1.0}],
+                       options={"maxiter": 500, "ftol": 1e-12})
+        opt_val, pgd_val = -res.fun, -f(w[b])
+        # PGD must reach the optimum within a tight tolerance
+        assert pgd_val >= opt_val - 1e-4 * max(1.0, abs(opt_val)), (b, pgd_val, opt_val)
+
+    # exact simplex projection sanity: matches a brute-force QP projection
+    v = jnp.asarray(rng.randn(3, 8).astype(np.float32))
+    m = jnp.ones((3, 8))
+    p = np.asarray(_project_simplex(v, m))
+    np.testing.assert_allclose(p.sum(-1), 1.0, atol=1e-5)
+    for b in range(3):
+        res = minimize(lambda x: np.sum((x - np.asarray(v)[b]) ** 2),
+                       np.ones(8) / 8, method="SLSQP",
+                       bounds=[(0.0, None)] * 8,
+                       constraints=[{"type": "eq", "fun": lambda x: x.sum() - 1.0}])
+        np.testing.assert_allclose(p[b], res.x, atol=5e-4)  # SLSQP's own ftol
