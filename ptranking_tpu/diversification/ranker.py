@@ -151,6 +151,25 @@ class DivRanker:
     def validation(self, batches, k: int = 5, metric: str = "aNDCG") -> float:
         return float(self.evaluate(batches, ks=(k,))[metric][0])
 
+    def evaluate_per_query(self, batches: Iterable[DivBatch],
+                           ks=(1, 3, 5, 10, 20)) -> np.ndarray:
+        """Per-query aNDCG@ks matrix [num_real_queries, len(ks)] (reference
+        need_per_q_andcg reproduce pickles, div_parameter.py:510-571)."""
+        ks = tuple(ks)
+        rows = []
+        for b in batches:
+            scores = self.predict(b)
+            dmask = jnp.asarray(b.doc_mask)
+            rele_mat = jnp.asarray(b.rele_mat)
+            order = jnp.argsort(-jnp.where(dmask, scores, PAD_SCORE), axis=-1, stable=True)
+            S = rele_mat.shape[1]
+            sys_rele = jnp.take_along_axis(rele_mat, order[:, None, :].repeat(S, 1), -1)
+            sys_mask = jnp.take_along_axis(dmask, order, -1)
+            per_q = np.asarray(alpha_ndcg_at_ks(sys_rele, rele_mat, sys_mask, ks))
+            real = np.asarray(dmask.any(axis=-1))
+            rows.append(per_q[real])
+        return np.concatenate(rows, axis=0) if rows else np.zeros((0, len(ks)))
+
     def save(self, path: str):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         with open(path, "wb") as f:

@@ -267,3 +267,18 @@ def test_portfolio_pgd_matches_qp_oracle():
                        bounds=[(0.0, None)] * 8,
                        constraints=[{"type": "eq", "fun": lambda x: x.sum() - 1.0}])
         np.testing.assert_allclose(p[b], res.x, atol=5e-4)  # SLSQP's own ftol
+
+
+def test_div_evaluate_per_query_shapes():
+    qs = make_synthetic_div_queries(num_queries=7, num_features=16, min_docs=5,
+                                    max_docs=12, seed=9)
+    ds = DivBucketedDataset(qs, batch_queries=4)
+    cfg = DivScorerConfig(sf_id="pointsf", num_features=16, h_dim=16,
+                          num_layers=2, dropout=0.0)
+    r = DivRanker("DALETOR", cfg).init()
+    mat = r.evaluate_per_query(ds.batches(), ks=(1, 5, 10))
+    assert mat.shape == (7, 3)
+    assert np.all((mat >= 0) & (mat <= 1 + 1e-6))
+    # means agree with the batched evaluate()
+    m = r.evaluate(ds.batches(), ks=(1, 5, 10))
+    np.testing.assert_allclose(mat.mean(axis=0), m["aNDCG"], atol=1e-5)
