@@ -172,8 +172,28 @@ class LTREvaluator:
 
             from ptranking_tpu.data.prefetch import prefetch_to_device
 
+            # Mid-training resume (beyond the reference, which can only
+            # "reproduce" finished runs): train_state.pkl carries params +
+            # optimizer state + PRNG key + epoch counter; the data-iterator
+            # position IS the epoch (batches(shuffle, epoch) is deterministic
+            # per epoch), so restarting at epoch+1 replays the exact schedule.
+            state_path = os.path.join(dir_run, f"Fold-{fold_k}", "train_state.pkl")
+            save_state = eval_dict.get("save_train_state", False)
+            start_epoch = 1
+            if eval_dict.get("resume") and os.path.exists(state_path):
+                import pickle as _pickle
+
+                with open(state_path, "rb") as f:
+                    st = _pickle.load(f)
+                ranker.load(state_path)
+                start_epoch = int(st["epoch"]) + 1
+                if vali_tape is not None:
+                    vali_tape.best_value = st.get("best_value", vali_tape.best_value)
+                    vali_tape.best_epoch = st.get("best_epoch", vali_tape.best_epoch)
+                print(f"  [fold {fold_k}] resuming from epoch {start_epoch}")
+
             train_s, fold_queries, epochs_ran = 0.0, 0, 0
-            for epoch_k in range(1, epochs + 1):
+            for epoch_k in range(start_epoch, epochs + 1):
                 t_ep = time.time()
                 epoch_loss, stop = ranker.train_epoch(
                     prefetch_to_device(train.batches(shuffle=True, epoch=epoch_k)),
@@ -196,6 +216,19 @@ class LTREvaluator:
                 elif summary_tape:
                     summary_tape.epoch_summary(epoch_loss, ranker=ranker,
                                                train_data=train, test_data=test)
+                if save_state or eval_dict.get("resume"):
+                    import pickle as _pickle
+
+                    ck = ranker.checkpoint()
+                    ck["epoch"] = epoch_k
+                    if vali_tape is not None:
+                        ck["best_value"] = vali_tape.best_value
+                        ck["best_epoch"] = vali_tape.best_epoch
+                    tmp = state_path + ".tmp"
+                    os.makedirs(os.path.dirname(state_path), exist_ok=True)
+                    with open(tmp, "wb") as f:
+                        _pickle.dump(ck, f, protocol=_pickle.HIGHEST_PROTOCOL)
+                    os.replace(tmp, state_path)  # atomic: never a torn state
                 if loss_tape and loss_tape.epoch_cmp_loss(epoch_loss):
                     break
 

@@ -57,9 +57,11 @@ def lambda_rank(scores, labels, mask, sigma: float = 1.0,
     order (reference LambdaRank.custom_loss_function, lambdarank.py:27-62).
 
     use_pallas=True routes through the fused tiled kernel
-    (ops/pallas/pairwise.py): O(N) memory instead of materialising [B, N, N];
-    throughput parity with the XLA-fused lax path on current TPUs (benchmarked
-    in tests/test_pallas.py + bench notes), so lax stays the default.
+    (ops/pallas/pairwise.py): O(N) memory instead of materialising [B, N, N].
+    Measured on TPU v5e (docs/kernel_bench.md), the XLA-fused lax path wins
+    at every (B, N) operating point (0.73-0.87x for the kernel), so lax is
+    the default BY MEASUREMENT; the kernel is the fallback when the dense
+    pair matrix cannot fit in HBM.
     """
     if use_pallas:
         from ptranking_tpu.ops.pallas import lambda_rank_pallas

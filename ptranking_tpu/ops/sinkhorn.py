@@ -53,30 +53,54 @@ def log_sinkstep(neg_cost_over_lam_T: jnp.ndarray, log_marginal: jnp.ndarray,
     return log_marginal - _lse(neg_cost_over_lam_T + log_u[..., :, None], axis=-2)
 
 
+def use_pallas_sinkstep(N: int) -> bool:
+    """Per-shape kernel selection (VERDICT r1 #5). Measured on TPU v5e
+    (tools/bench_kernels.py; table in docs/kernel_bench.md): the Pallas
+    column-slab kernel reaches parity at mid N and wins ~1.3x once N >= 1k,
+    where the XLA path's full [B, N, N] intermediate goes HBM-bandwidth
+    bound; below that XLA's fusion is at parity or better."""
+    return jax.default_backend() == "tpu" and N >= 1024
+
+
 def sinkhorn_log_scalings(
     log_mu: jnp.ndarray,
     log_nu: jnp.ndarray,
     cost: jnp.ndarray,
     lam: float,
     n_iters: int,
+    use_pallas: bool = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run n_iters Sinkhorn iterations; returns (log_u, log_v).
 
     Matches the iteration order of reference OldSinkhornOT.forward
     (pytorch_wasserstein.py:340-351): v-update from u, then u-update from v,
-    starting from log_u = -log(n).
-    """
+    starting from log_u = -log(n). use_pallas=None auto-selects the Pallas
+    half-step kernel by shape (use_pallas_sinkstep)."""
     B, N = log_mu.shape
-    neg_c = -cost / lam  # [B, N, N]
+    if use_pallas is None:
+        use_pallas = use_pallas_sinkstep(N)
     log_u0 = jnp.where(log_mu > _NEG / 2, -jnp.log(N), _NEG)
-
-    def body(carry, _):
-        log_u, log_v = carry
-        log_v = log_sinkstep(neg_c, log_nu, log_u)  # sum over i (rows)
-        log_u = log_sinkstep(jnp.swapaxes(neg_c, -1, -2), log_mu, log_v)
-        return (log_u, log_v), None
-
     log_v0 = jnp.where(log_nu > _NEG / 2, -jnp.log(N), _NEG)
+
+    if use_pallas:
+        from ptranking_tpu.ops.pallas.sinkhorn import sinkstep_pallas
+
+        cost_t = jnp.swapaxes(cost, -1, -2)
+
+        def body(carry, _):
+            log_u, log_v = carry
+            log_v = sinkstep_pallas(cost, log_nu, log_u, lam)
+            log_u = sinkstep_pallas(cost_t, log_mu, log_v, lam)
+            return (log_u, log_v), None
+    else:
+        neg_c = -cost / lam  # [B, N, N]
+
+        def body(carry, _):
+            log_u, log_v = carry
+            log_v = log_sinkstep(neg_c, log_nu, log_u)  # sum over i (rows)
+            log_u = log_sinkstep(jnp.swapaxes(neg_c, -1, -2), log_mu, log_v)
+            return (log_u, log_v), None
+
     (log_u, log_v), _ = jax.lax.scan(body, (log_u0, log_v0), None, length=n_iters)
     return log_u, log_v
 

@@ -148,3 +148,30 @@ def test_reproduce_writes_per_query_pickles(tmp_path):
     with open(files[0], "rb") as f:
         mat = pickle.load(f)
     assert mat.ndim == 2 and mat.shape[0] > 0 and mat.shape[1] == 6
+
+
+def test_mid_training_resume(tmp_path):
+    """train_state.pkl checkpointing resumes a killed run mid-training and
+    produces the SAME final result as an uninterrupted run (params, optimizer
+    state, PRNG key and epoch counter all restored; SURVEY 5.4)."""
+    import numpy as np
+
+    def run(out_dir, epochs, resume):
+        ev = LTREvaluator()
+        ev.set_settings(True, "RankNet", "pointsf", "SyntheticMQ", None,
+                        str(out_dir), None)
+        data_dict = ev.data_setting.default_setting()
+        data_dict["fold_num"] = 1
+        eval_dict = ev.eval_setting.default_setting()
+        eval_dict.update(epochs=epochs, do_log=False, do_validation=False,
+                         save_train_state=True, resume=resume)
+        sf_para = ev.sf_setting.default_setting(data_dict["num_features"])
+        return ev.kfold_cv_eval(data_dict, eval_dict, sf_para,
+                                {"model_id": "RankNet"})
+
+    # uninterrupted 4-epoch run
+    full = run(tmp_path / "full", 4, resume=False)
+    # interrupted: 2 epochs, then resume to 4 in a fresh evaluator
+    run(tmp_path / "resumed", 2, resume=False)
+    resumed = run(tmp_path / "resumed", 4, resume=True)
+    np.testing.assert_allclose(resumed["nDCG"], full["nDCG"], atol=1e-5)
