@@ -64,9 +64,14 @@ class AdhocRanker:
         opt_cfg: Optional[OptimizerConfig] = None,
         label_type: LabelType = LabelType.MultiLabel,
         seed: int = LTR_SEED,
+        scan_steps: int = 8,
     ):
         if model_id in REQUIRES_LISTSF and not scorer_cfg.sf_id.startswith("listsf"):
             scorer_cfg = ScorerConfig.default_listsf(scorer_cfg.num_features)
+        # batches per fused device dispatch (lax.scan); 1 = one dispatch per
+        # batch (the reference's structure). >1 only changes the PRNG stream
+        # assignment, not semantics — see _build_step's scan_step
+        self.scan_steps = max(int(scan_steps), 1)
         self.model_id = model_id
         self.scorer_cfg = scorer_cfg
         self.loss_fn = get_loss(model_id)
@@ -96,8 +101,9 @@ class AdhocRanker:
             cached = (self._optimizer, self._build_step(),
                       self._build_predict(), self._build_eval())
             _COMPILED_CACHE[key] = cached
-        (self._optimizer, self._compiled_step,
-         self._compiled_predict, self._compiled_eval) = cached
+        (self._optimizer, (self._compiled_step, self._compiled_scan_step),
+         self._compiled_predict,
+         (self._compiled_eval, self._compiled_eval_scan)) = cached
         self.opt_state = self._optimizer.init(self.params)
         return self
 
@@ -106,7 +112,6 @@ class AdhocRanker:
         label_type, stochastic = self.label_type, self.stochastic
         optimizer = self._optimizer
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
         def step(params, opt_state, key, features, labels, mask):
             k_drop, k_loss = jax.random.split(key)
 
@@ -120,7 +125,28 @@ class AdhocRanker:
             params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
             return params, opt_state, loss
 
-        return step
+        # scanned K-step variant: ONE dispatch trains K stacked batches of
+        # identical shape. On the tunneled TPU a dispatch costs ~1-3 ms; with
+        # the reference's ~100-doc rough batches a step computes for ~1 ms,
+        # so per-step dispatch dominates — measured 6.5x faster at B=8/N=128
+        # (scan_probe, BASELINE.md). K is static per compile via the stacked
+        # leading axis; train_epoch only ever uses one K per bucket.
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def scan_step(params, opt_state, key, features_k, labels_k, mask_k):
+            K = features_k.shape[0]
+            keys = jax.random.split(key, K)
+
+            def body(carry, inp):
+                params, opt_state = carry
+                sub, f, l, m = inp
+                params, opt_state, loss = step(params, opt_state, sub, f, l, m)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (keys, features_k, labels_k, mask_k))
+            return params, opt_state, jnp.sum(losses)
+
+        return functools.partial(jax.jit, donate_argnums=(0, 1))(step), scan_step
 
     def _build_predict(self):
         scorer_cfg = self.scorer_cfg
@@ -146,7 +172,17 @@ class AdhocRanker:
             sums["count"] = jnp.sum(jnp.any(mask, axis=-1).astype(jnp.float32))
             return sums
 
-        return eval_batch
+        # fused K-batch eval: ONE dispatch evaluates K stacked batches with
+        # PER-BATCH semantics kept (BN uses batch statistics at eval — the
+        # batches must NOT be merged into one larger batch; vmap preserves
+        # each batch's normalisation exactly)
+        @functools.partial(jax.jit, static_argnums=(4,))
+        def eval_batches(params, features_k, labels_k, mask_k, ks):
+            outs = jax.vmap(lambda f, l, m: eval_batch(params, f, l, m, ks))(
+                features_k, labels_k, mask_k)
+            return {k: jnp.sum(v, axis=0) for k, v in outs.items()}
+
+        return eval_batch, eval_batches
 
     # ----------------------------------------------------------------- train
 
@@ -160,21 +196,64 @@ class AdhocRanker:
         self.opt_state = set_lr(self.opt_state, epoch_lr(self.opt_cfg, epoch_k))
         check = (epoch_k % self.stop_check_freq) == 0
         losses, num_queries = [], 0
+        pending = []  # same-shape batches awaiting one fused scan dispatch
+
+        def flush():
+            if not pending:
+                return
+            if len(pending) == 1:
+                b = pending[0]
+                self._key, sub = jax.random.split(self._key)
+                self.params, self.opt_state, loss = self._compiled_step(
+                    self.params, self.opt_state, sub, b.features, b.labels, b.mask)
+            else:
+                # device-side stack: prefetched batches already live on-chip,
+                # a host np.stack would round-trip them
+                f = jnp.stack([jnp.asarray(b.features) for b in pending])
+                l = jnp.stack([jnp.asarray(b.labels) for b in pending])
+                m = jnp.stack([jnp.asarray(b.mask) for b in pending])
+                self._key, sub = jax.random.split(self._key)
+                self.params, self.opt_state, loss = self._compiled_scan_step(
+                    self.params, self.opt_state, sub, f, l, m)
+            # keep losses on device: a float() here would sync every step and
+            # stall XLA's async dispatch pipeline
+            losses.append(loss)
+            pending.clear()
+
         for batch in batches:
-            self._key, sub = jax.random.split(self._key)
             if check:
+                flush()
                 scores = self._compiled_predict(self.params, batch.features, batch.mask)
                 finite = jnp.all(jnp.isfinite(jnp.where(batch.mask, scores, 0.0)))
                 nonzero = jnp.any(jnp.where(batch.mask, scores, 0.0) != 0.0)
                 if not bool(finite) or not bool(nonzero):
                     return float("nan"), True
-            self.params, self.opt_state, loss = self._compiled_step(
-                self.params, self.opt_state, sub, batch.features, batch.labels, batch.mask
-            )
-            # keep losses on device: a float() here would sync every step and
-            # stall XLA's async dispatch pipeline
-            losses.append(loss)
             num_queries += int(np.sum(np.asarray(batch.mask).any(axis=-1)))
+            if self.scan_steps <= 1:
+                pending.append(batch)
+                flush()
+                continue
+            if pending and pending[0].features.shape != batch.features.shape:
+                # bucket boundary: run what we have per-step (a fresh scan
+                # length would cost a compile for a once-per-epoch remainder)
+                for b in pending:
+                    self._key, sub = jax.random.split(self._key)
+                    self.params, self.opt_state, loss = self._compiled_step(
+                        self.params, self.opt_state, sub, b.features, b.labels, b.mask)
+                    losses.append(loss)
+                pending.clear()
+            pending.append(batch)
+            if len(pending) == self.scan_steps:
+                flush()
+        if self.scan_steps > 1 and 1 < len(pending) < self.scan_steps:
+            # epoch-tail remainder: per-step to avoid a remainder-K compile
+            for b in pending:
+                self._key, sub = jax.random.split(self._key)
+                self.params, self.opt_state, loss = self._compiled_step(
+                    self.params, self.opt_state, sub, b.features, b.labels, b.mask)
+                losses.append(loss)
+            pending.clear()
+        flush()
         total_loss = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
         return total_loss / max(num_queries, 1), False
 
@@ -194,16 +273,42 @@ class AdhocRanker:
 
     def evaluate(self, batches: Iterable[RankingBatch], ks=(1, 3, 5, 10, 20, 50)) -> Dict[str, np.ndarray]:
         """Dataset-level metric means (reference adhoc_performance_at_ks,
-        base/ranker.py:202-268) with everything but the final sums on-device."""
+        base/ranker.py:202-268) with everything but the final sums on-device.
+        Same-shape batches are evaluated K per dispatch (per-batch BN
+        semantics preserved — see _build_eval) to amortize dispatch cost."""
         ks = tuple(ks)
+        device_sums = []  # device-side; one host sync at the end
+        pending: list = []
+
+        def flush():
+            if not pending:
+                return
+            if len(pending) == 1 or self.scan_steps <= 1:
+                for b in pending:
+                    device_sums.append(self._compiled_eval(
+                        self.params, b.features, b.labels, b.mask, ks))
+            else:
+                f = jnp.stack([jnp.asarray(b.features) for b in pending])
+                l = jnp.stack([jnp.asarray(b.labels) for b in pending])
+                m = jnp.stack([jnp.asarray(b.mask) for b in pending])
+                device_sums.append(self._compiled_eval_scan(self.params, f, l, m, ks))
+            pending.clear()
+
+        for batch in batches:
+            if pending and pending[0].features.shape != batch.features.shape:
+                flush()
+            pending.append(batch)
+            if len(pending) == max(self.scan_steps, 1):
+                flush()
+        flush()
+        if not device_sums:
+            return {m: np.zeros(len(ks)) for m in ("nDCG", "nERR", "AP", "P")}
         acc: Dict[str, np.ndarray] = {}
         count = 0.0
-        for batch in batches:
-            sums = self._compiled_eval(self.params, batch.features, batch.labels, batch.mask, ks)
+        for sums in device_sums:
             count += float(sums["count"])
             for m in ("nDCG", "nERR", "AP", "P"):
-                v = np.asarray(sums[m])
-                acc[m] = acc.get(m, 0.0) + v
+                acc[m] = acc.get(m, 0.0) + np.asarray(sums[m])
         if count == 0:
             return {m: np.zeros(len(ks)) for m in ("nDCG", "nERR", "AP", "P")}
         return {m: acc[m] / count for m in acc}
