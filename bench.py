@@ -46,10 +46,12 @@ PEAK_FLOPS = {
 
 
 def peak_flops(device_kind: str, dtype: str) -> float:
-    peak = None
+    # LONGEST matching prefix wins: 'TPU v5 lite' must resolve to the v5e
+    # entry (197 TF), not fall through to 'TPU v5' (v5p, 459 TF)
+    best_len, peak = -1, None
     for k, v in PEAK_FLOPS.items():
-        if device_kind.lower().startswith(k.lower()):
-            peak = v
+        if device_kind.lower().startswith(k.lower()) and len(k) > best_len:
+            best_len, peak = len(k), v
     if peak is None:
         peak = 275e12  # conservative default: v4
     if dtype == "float32":

@@ -227,20 +227,22 @@ class IRGAN_Pair(AdversarialMachine):
             neg_idx = sample_categorical_masked(k_neg, logits, neg_mask, S, replacement=True)
             return pos_idx, neg_idx, valid_q, g_scores
 
-        def truth_pairs(key, labels, mask):
-            """Truth-side (pos, neg) pair indices per the configured scheme."""
+        def truth_heads(key, labels, mask):
+            """Truth-side positive-doc indices per the configured scheme: the
+            HEAD of a sampled true pair (reference pair_sampling.py samplers).
+            The pair's negative leg always comes from the GENERATOR — without
+            it D decouples from G and the minimax degenerates."""
             from ptranking_tpu.adversarial.util import (
                 generate_true_pairs, sample_pairs_bt, sample_pairs_gaussian)
 
             if truth_sampling == "discounted":
-                head, tail, has = generate_true_pairs(key, labels, mask, S)
-                return head, tail, has
+                head, _tail, has = generate_true_pairs(key, labels, mask, S)
+                return head, has
             if truth_sampling == "BT":
-                head, tail = sample_pairs_bt(key, labels, mask, S)
+                head, _tail = sample_pairs_bt(key, labels, mask, S)
             else:  # Gaussian
-                head, tail = sample_pairs_gaussian(key, labels, mask, S)
-            # a drawn pair is informative only when some positive exists
-            return head, tail, _num_pos(labels, mask) >= 1
+                head, _tail = sample_pairs_gaussian(key, labels, mask, S)
+            return head, _num_pos(labels, mask) >= 1
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def d_step(d_params, d_opt_state, g_params, key, features, labels, mask):
@@ -250,7 +252,14 @@ class IRGAN_Pair(AdversarialMachine):
                     g_params, key, features, labels, mask, False)
             else:
                 k_t, k_n = jax.random.split(key)
-                pos_idx, neg_idx, valid_q = truth_pairs(k_t, labels, mask)
+                pos_idx, pos_ok = truth_heads(k_t, labels, mask)
+                # negatives from the generator, exactly as the uniform mode
+                npos = _num_pos(labels, mask)
+                g_scores = g.predict_scaled(g_params, features, mask)
+                neg_mask = mask & (jnp.arange(N)[None] >= npos[:, None])
+                neg_idx = sample_categorical_masked(k_n, g_scores, neg_mask, S,
+                                                    replacement=True)
+                valid_q = pos_ok & (jnp.sum(mask, -1) - npos >= 1)
             pos_docs, neg_docs = _gather_docs(features, pos_idx), _gather_docs(features, neg_idx)
             smask = jnp.broadcast_to(valid_q[:, None], (B, S))
 

@@ -166,14 +166,18 @@ def weighted_mean(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 def weighted_clipped_pos_diffs(labels: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Position-discounted positive label gaps [B, N, N] (reference
     get_weighted_clipped_pos_diffs, pair_sampling.py:26-51): w_ij =
-    max(l_i - l_j, 0) / (log2(2+i) * log2(2+j)). Presorted labels make the
-    reference's [0:num_pos, 0:num_explicit] clip implicit — rows beyond the
-    positives carry no positive gaps."""
+    max(l_i - l_j, 0) / (log2(2+i) * log2(2+j)). The reference clips rows to
+    [0:num_pos] and columns to [0:num_explicit]; under presorted labels the
+    row clip is implicit (rows beyond the positives carry no positive gaps),
+    and the column clip maps to excluding UNJUDGED (-1) tails — without it,
+    semi-supervised data would yield (0, -1) "true pairs" the reference never
+    samples."""
     n = labels.shape[-1]
     diffs = jnp.maximum(labels[..., :, None] - labels[..., None, :], 0.0)
     disc = 1.0 / jnp.log2(2.0 + jnp.arange(n, dtype=labels.dtype))
     w = diffs * disc[None, :, None] * disc[None, None, :]
-    valid = mask[..., :, None] & mask[..., None, :]
+    explicit_tail = labels[..., None, :] >= 0  # judged docs only (num_explicit)
+    valid = mask[..., :, None] & mask[..., None, :] & explicit_tail
     return jnp.where(valid, w, 0.0)
 
 

@@ -1,0 +1,145 @@
+"""Device-resident dataset: upload once, gather batches on-chip.
+
+The per-epoch host->device stream of every batch is the real-training
+bottleneck on a remote-attached chip (BASELINE.md dispatch/transfer notes):
+the dataset is identical every epoch — only the batch ORDER changes. This
+wrapper uploads each bucket's packed arrays to HBM once and reconstitutes
+batches as on-device gathers, so per-epoch traffic is just the permutation
+indices (a few KB).
+
+Remainder batches are padded with an all-masked sentinel row appended to
+each bucket (index Q), matching BucketedDataset.batches' padded-remainder
+semantics exactly (same RNG, same order, same shapes).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, Optional
+
+import numpy as np
+
+from ptranking_tpu.data.dataset import BucketedDataset
+from ptranking_tpu.types import RankingBatch
+
+
+def packed_nbytes(ds: BucketedDataset) -> int:
+    """HBM bytes needed to host the dataset's packed arrays."""
+    total = 0
+    for feats, labels, mask, _ in ds._packed.values():
+        total += feats.nbytes + labels.nbytes + mask.nbytes
+    return total
+
+
+class DeviceResidentDataset:
+    """Wraps a BucketedDataset; yields batches gathered on-device.
+
+    Drop-in for the `batches()` consumer contract (train_epoch / evaluate):
+    identical batch composition and order to the wrapped dataset for the
+    same (shuffle, epoch) arguments.
+    """
+
+    def __init__(self, ds: BucketedDataset, dtype=None):
+        import jax.numpy as jnp
+
+        self.ds = ds
+        self.num_queries = ds.num_queries
+        self.buckets = ds.buckets
+        self.batch_docs = ds.batch_docs
+        self._dev = {}
+        for b, (feats, labels, mask, qids) in ds._packed.items():
+            # one sentinel all-masked row at index Q for padded remainders
+            f = np.concatenate([feats, np.zeros_like(feats[:1])], axis=0)
+            l = np.concatenate([labels, np.zeros_like(labels[:1])], axis=0)
+            m = np.concatenate([mask, np.zeros_like(mask[:1])], axis=0)
+            if dtype is not None:
+                f = f.astype(dtype)
+            self._dev[b] = (jnp.asarray(f), jnp.asarray(l), jnp.asarray(m), qids)
+
+    def batch_size_for(self, bucket: int) -> int:
+        return self.ds.batch_size_for(bucket)
+
+    def qid_for(self, batch: RankingBatch, row: int):
+        return self.ds.qid_for(batch, row)
+
+    def batches(self, shuffle: bool = False, epoch: int = 0,
+                drop_remainder: bool = False,
+                percent: Optional[float] = None) -> Iterator[RankingBatch]:
+        """Same iteration contract as BucketedDataset.batches (same RNG
+        stream), with features/labels/mask as on-device gathers."""
+        import jax.numpy as jnp
+
+        rng = np.random.RandomState(self.ds.seed + epoch)
+        for b in self._dev:
+            feats, labels, mask, qids = self._dev[b]
+            Q = feats.shape[0] - 1  # minus the sentinel row
+            B = self.batch_size_for(b)
+            idx = rng.permutation(Q) if (shuffle or percent) else np.arange(Q)
+            if percent is not None:
+                assert 0.0 < percent <= 1.0
+                idx = idx[: max(1, int(Q * percent))]
+                Q = len(idx)
+            n_full = Q // B
+            for i in range(n_full):
+                sl = idx[i * B:(i + 1) * B]
+                sl_d = jnp.asarray(sl)
+                yield RankingBatch(jnp.take(feats, sl_d, axis=0),
+                                   jnp.take(labels, sl_d, axis=0),
+                                   jnp.take(mask, sl_d, axis=0),
+                                   qids[sl])
+            rem = Q - n_full * B
+            if rem and not drop_remainder:
+                sl = idx[n_full * B:]
+                # sentinel index Q fills the padded tail rows
+                sl_pad = np.full((B,), Q, np.int64)
+                sl_pad[:rem] = sl
+                sl_d = jnp.asarray(sl_pad)
+                qi = np.full((B,), -1, np.int32)
+                qi[:rem] = qids[sl]
+                yield RankingBatch(jnp.take(feats, sl_d, axis=0),
+                                   jnp.take(labels, sl_d, axis=0),
+                                   jnp.take(mask, sl_d, axis=0), qi)
+
+    def epoch_index_chunks(self, shuffle: bool = False, epoch: int = 0,
+                           chunk_size: int = 8):
+        """Yield (bucket, idx [k, B] int64, num_real_queries) chunks covering
+        the exact batch schedule of batches(shuffle, epoch) — the input to
+        the gather-fused train step (train/ranker.py gather_scan_step).
+        Remainder batches appear as sentinel-padded index rows, so a chunk
+        needs no special-casing; tail chunks have k < chunk_size (their
+        compiled programs are reused every epoch — the schedule is fixed)."""
+        rng = np.random.RandomState(self.ds.seed + epoch)
+        for b in self._dev:
+            feats, _, _, qids = self._dev[b]
+            Q = feats.shape[0] - 1
+            B = self.batch_size_for(b)
+            idx = rng.permutation(Q) if shuffle else np.arange(Q)
+            n_full = Q // B
+            rows = [idx[i * B:(i + 1) * B] for i in range(n_full)]
+            real = [B] * n_full
+            rem = Q - n_full * B
+            if rem:
+                pad = np.full((B,), Q, np.int64)
+                pad[:rem] = idx[n_full * B:]
+                rows.append(pad)
+                real.append(rem)
+            for lo in range(0, len(rows), chunk_size):
+                sub = rows[lo:lo + chunk_size]
+                yield b, np.stack(sub).astype(np.int64), int(sum(real[lo:lo + chunk_size]))
+
+    def bucket_arrays(self, bucket: int):
+        """(features, labels, mask) device arrays for one bucket (incl. the
+        sentinel row)."""
+        f, l, m, _ = self._dev[bucket]
+        return f, l, m
+
+    def __len__(self):
+        return len(self.ds)
+
+
+def maybe_device_resident(ds: BucketedDataset, budget_bytes: int = 1 << 30):
+    """Return a DeviceResidentDataset when the packed arrays fit the HBM
+    budget, else the original dataset (streamed per epoch)."""
+    if packed_nbytes(ds) <= budget_bytes:
+        return DeviceResidentDataset(ds)
+    return ds

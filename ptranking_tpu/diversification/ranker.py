@@ -35,8 +35,12 @@ DIV_MODELS = ["DALETOR", "DivProbRanker"]
 class DivRanker:
     def __init__(self, model_id: str, scorer_cfg: DivScorerConfig,
                  model_paras: Optional[Dict[str, Any]] = None,
-                 opt_cfg: Optional[OptimizerConfig] = None, seed: int = 137):
+                 opt_cfg: Optional[OptimizerConfig] = None, seed: int = 137,
+                 scan_steps: int = 8):
         assert model_id in DIV_MODELS, model_id
+        # batches per fused device dispatch (see train/ranker.py scan_step:
+        # dispatch latency dominates small-batch steps on a tunneled chip)
+        self.scan_steps = max(int(scan_steps), 1)
         self.model_id = model_id
         self.scorer_cfg = scorer_cfg
         self.model_paras = dict(model_paras or {})
@@ -70,7 +74,6 @@ class DivRanker:
             paras["opt_id"] = self._loss_key
         optimizer = self._optimizer
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
         def step(params, opt_state, key, q_repr, doc_reprs, rele_mat, dmask):
             def loss_of(p):
                 if model_id == "DALETOR":
@@ -89,7 +92,24 @@ class DivRanker:
             params = jax.tree_util.tree_map(lambda a, u: a + u, params, updates)
             return params, opt_state, loss
 
-        self._step = step
+        self._step = jax.jit(step, donate_argnums=(0, 1))
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def scan_step(params, opt_state, key, q_k, d_k, r_k, m_k):
+            K = q_k.shape[0]
+            keys = jax.random.split(key, K)
+
+            def body(carry, inp):
+                params, opt_state = carry
+                sub, q, d, rm, dm = inp
+                params, opt_state, loss = step(params, opt_state, sub, q, d, rm, dm)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (keys, q_k, d_k, r_k, m_k))
+            return params, opt_state, jnp.sum(losses)
+
+        self._scan_step = scan_step
 
         @jax.jit
         def predict(params, q_repr, doc_reprs, dmask):
@@ -119,14 +139,44 @@ class DivRanker:
     def train_epoch(self, batches: Iterable[DivBatch], epoch_k: int = 1):
         self.opt_state = set_lr(self.opt_state, epoch_lr(self.opt_cfg, epoch_k))
         losses, n = [], 0
-        for b in batches:
+        pending = []
+
+        def run_one(b):
             self._key, sub = jax.random.split(self._key)
             self.params, self.opt_state, loss = self._step(
                 self.params, self.opt_state, sub,
                 jnp.asarray(b.q_repr), jnp.asarray(b.doc_reprs),
                 jnp.asarray(b.rele_mat), jnp.asarray(b.doc_mask))
             losses.append(loss)  # device-side; one sync at epoch end
+
+        def flush(allow_scan: bool):
+            if not pending:
+                return
+            if allow_scan and len(pending) > 1:
+                q = jnp.stack([jnp.asarray(b.q_repr) for b in pending])
+                d = jnp.stack([jnp.asarray(b.doc_reprs) for b in pending])
+                rm = jnp.stack([jnp.asarray(b.rele_mat) for b in pending])
+                dm = jnp.stack([jnp.asarray(b.doc_mask) for b in pending])
+                self._key, sub = jax.random.split(self._key)
+                self.params, self.opt_state, loss = self._scan_step(
+                    self.params, self.opt_state, sub, q, d, rm, dm)
+                losses.append(loss)
+            else:
+                for b in pending:
+                    run_one(b)
+            pending.clear()
+
+        for b in batches:
             n += int(b.doc_mask.any(axis=-1).sum())
+            if self.scan_steps <= 1:
+                run_one(b)
+                continue
+            if pending and pending[0].doc_reprs.shape != b.doc_reprs.shape:
+                flush(allow_scan=False)  # bucket boundary: avoid remainder-K compiles
+            pending.append(b)
+            if len(pending) == self.scan_steps:
+                flush(allow_scan=True)
+        flush(allow_scan=False)  # epoch tail
         total = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
         if not np.isfinite(total):  # NaN stop guard (stop_training parity)
             return float("nan"), True

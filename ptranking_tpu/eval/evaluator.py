@@ -99,6 +99,16 @@ class LTREvaluator:
         test = BucketedDataset(test_qs, batch_docs=test_bd, num_features=F)
         vali = (BucketedDataset(vali_qs, batch_docs=vali_bd, num_features=F)
                 if vali_qs is not None else None)
+        if eval_dict.get("device_resident", True):
+            # upload the packed arrays to HBM once (when they fit the budget)
+            # instead of streaming every batch host->device every epoch — the
+            # dominant cost on a remote-attached chip (BASELINE.md)
+            from ptranking_tpu.data.device_cache import maybe_device_resident
+
+            budget = int(eval_dict.get("device_resident_bytes", 1 << 30))
+            train = maybe_device_resident(train, budget)
+            test = maybe_device_resident(test, budget)
+            vali = maybe_device_resident(vali, budget) if vali is not None else None
         return train, test, vali
 
     # -------------------------------------------------------------- rankers
@@ -185,20 +195,26 @@ class LTREvaluator:
 
                 with open(state_path, "rb") as f:
                     st = _pickle.load(f)
-                ranker.load(state_path)
+                ranker.restore(st)  # one read serves state and metadata
                 start_epoch = int(st["epoch"]) + 1
                 if vali_tape is not None:
                     vali_tape.best_value = st.get("best_value", vali_tape.best_value)
                     vali_tape.best_epoch = st.get("best_epoch", vali_tape.best_epoch)
                 print(f"  [fold {fold_k}] resuming from epoch {start_epoch}")
 
+            from ptranking_tpu.data.device_cache import DeviceResidentDataset
+
+            resident = isinstance(train, DeviceResidentDataset)
             train_s, fold_queries, epochs_ran = 0.0, 0, 0
             for epoch_k in range(start_epoch, epochs + 1):
                 t_ep = time.time()
-                epoch_loss, stop = ranker.train_epoch(
-                    prefetch_to_device(train.batches(shuffle=True, epoch=epoch_k)),
-                    epoch_k=epoch_k,
-                )
+                if resident:
+                    epoch_loss, stop = ranker.train_epoch_resident(train, epoch_k)
+                else:
+                    epoch_loss, stop = ranker.train_epoch(
+                        prefetch_to_device(train.batches(shuffle=True, epoch=epoch_k)),
+                        epoch_k=epoch_k,
+                    )
                 train_s += time.time() - t_ep  # train-only window
                 if not stop:
                     epochs_ran += 1
@@ -207,7 +223,7 @@ class LTREvaluator:
                     print("training is failed !")
                     break
                 if do_vali and (epoch_k % eval_dict.get("log_step", 1) == 0 or epoch_k == 1):
-                    v = ranker.validation(vali.batches(), k=eval_dict["vali_k"],
+                    v = ranker.validation(vali, k=eval_dict["vali_k"],
                                           metric=eval_dict["vali_metric"])
                     vali_tape.epoch_validation(epoch_k, v, ranker)
                     if summary_tape:
@@ -249,7 +265,7 @@ class LTREvaluator:
             if eval_dict.get("do_log", True) and epochs_ran:
                 print(f"  [fold {fold_k}] {fold_queries / max(train_s, 1e-9):,.0f}"
                       f" lists/s (training) over {epochs_ran} epochs")
-            cv_tape.fold_evaluation(ranker, test.batches(), fold_k)
+            cv_tape.fold_evaluation(ranker, test, fold_k)
 
         return cv_tape.get_cv_performance()
 
@@ -268,7 +284,7 @@ class LTREvaluator:
             assert ckpt, f"no checkpoint for fold {fold_k} under {dir_run}"
             ranker.load(ckpt)
             _, test, _ = self.load_data(eval_dict, data_dict, fold_k)
-            cv_tape.fold_evaluation(ranker, test.batches(), fold_k)
+            cv_tape.fold_evaluation(ranker, test, fold_k)
         return cv_tape.get_cv_performance()
 
     # ------------------------------------------------------------ dispatch

@@ -87,6 +87,8 @@ class CVTape:
         if self.reproduce:
             # per-query metric matrices, all folds concatenated (reference
             # reproduce-mode pickles, parameter.py:814-831)
+            if hasattr(test_batches, "batches"):
+                test_batches = test_batches.batches()
             test_batches = list(test_batches)
             pq = ranker.evaluate_per_query(test_batches, ks=tuple(self.cutoffs))
             for m in self.METRICS:
@@ -145,10 +147,10 @@ class SummaryTape:
         if vali_value is not None:
             self.list_fold_k_vali_track.append(float(vali_value))
         if ranker is not None and train_data is not None:
-            tr = ranker.evaluate(train_data.batches(), ks=self.cutoffs)
+            tr = ranker.evaluate(train_data, ks=self.cutoffs)
             self.list_fold_k_train_track.append(np.asarray(tr["nDCG"]))
         if ranker is not None and test_data is not None:
-            te = ranker.evaluate(test_data.batches(), ks=self.cutoffs)
+            te = ranker.evaluate(test_data, ks=self.cutoffs)
             self.list_fold_k_test_track.append(np.asarray(te["nDCG"]))
 
     def fold_summary(self, train_data_length: Optional[int] = None):

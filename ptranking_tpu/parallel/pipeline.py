@@ -18,17 +18,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
-try:  # jax >= 0.8 moved shard_map out of experimental
-    from jax import shard_map
-except ImportError:  # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map
-
-# jax >= 0.8 renamed check_rep -> check_vma; pass whichever exists
-import inspect as _inspect
-
-_SM_NOCHECK = ({"check_vma": False}
-               if "check_vma" in _inspect.signature(shard_map).parameters
-               else {"check_rep": False})
+from ptranking_tpu.parallel._compat import SM_NOCHECK as _SM_NOCHECK, shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 

@@ -101,9 +101,11 @@ class AdhocRanker:
             cached = (self._optimizer, self._build_step(),
                       self._build_predict(), self._build_eval())
             _COMPILED_CACHE[key] = cached
-        (self._optimizer, (self._compiled_step, self._compiled_scan_step),
+        (self._optimizer,
+         (self._compiled_step, self._compiled_scan_step, self._compiled_gather_scan),
          self._compiled_predict,
-         (self._compiled_eval, self._compiled_eval_scan)) = cached
+         (self._compiled_eval, self._compiled_eval_scan,
+          self._compiled_eval_gather)) = cached
         self.opt_state = self._optimizer.init(self.params)
         return self
 
@@ -146,7 +148,31 @@ class AdhocRanker:
                 body, (params, opt_state), (keys, features_k, labels_k, mask_k))
             return params, opt_state, jnp.sum(losses)
 
-        return functools.partial(jax.jit, donate_argnums=(0, 1))(step), scan_step
+        # gather-fused variant for device-resident data: the K batches are
+        # GATHERED inside the program from the resident bucket arrays, so a
+        # whole K-batch chunk costs ONE dispatch and ZERO host->device
+        # payload beyond the [K, B] index array
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def gather_scan_step(params, opt_state, key, feats_all, labels_all,
+                             mask_all, idx_k):
+            K = idx_k.shape[0]
+            keys = jax.random.split(key, K)
+
+            def body(carry, inp):
+                params, opt_state = carry
+                sub, idx = inp
+                f = jnp.take(feats_all, idx, axis=0)
+                l = jnp.take(labels_all, idx, axis=0)
+                m = jnp.take(mask_all, idx, axis=0)
+                params, opt_state, loss = step(params, opt_state, sub, f, l, m)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (keys, idx_k))
+            return params, opt_state, jnp.sum(losses)
+
+        return (functools.partial(jax.jit, donate_argnums=(0, 1))(step),
+                scan_step, gather_scan_step)
 
     def _build_predict(self):
         scorer_cfg = self.scorer_cfg
@@ -182,7 +208,20 @@ class AdhocRanker:
                 features_k, labels_k, mask_k)
             return {k: jnp.sum(v, axis=0) for k, v in outs.items()}
 
-        return eval_batch, eval_batches
+        # gather-fused eval for device-resident data (one dispatch per
+        # K-batch chunk, index-only input — same win as gather_scan_step)
+        @functools.partial(jax.jit, static_argnums=(5,))
+        def eval_gather(params, feats_all, labels_all, mask_all, idx_k, ks):
+            def one(idx):
+                f = jnp.take(feats_all, idx, axis=0)
+                l = jnp.take(labels_all, idx, axis=0)
+                m = jnp.take(mask_all, idx, axis=0)
+                return eval_batch(params, f, l, m, ks)
+
+            outs = jax.vmap(one)(idx_k)
+            return {k: jnp.sum(v, axis=0) for k, v in outs.items()}
+
+        return eval_batch, eval_batches, eval_gather
 
     # ----------------------------------------------------------------- train
 
@@ -198,15 +237,15 @@ class AdhocRanker:
         losses, num_queries = [], 0
         pending = []  # same-shape batches awaiting one fused scan dispatch
 
-        def flush():
+        def flush(allow_scan: bool = True):
+            """Run the pending batches: one fused scan dispatch when a full
+            chunk is allowed, else per-step (bucket boundaries and epoch
+            tails stay per-step so no remainder-K program is ever compiled).
+            Losses stay on device; a float() here would sync every step and
+            stall XLA's async dispatch pipeline."""
             if not pending:
                 return
-            if len(pending) == 1:
-                b = pending[0]
-                self._key, sub = jax.random.split(self._key)
-                self.params, self.opt_state, loss = self._compiled_step(
-                    self.params, self.opt_state, sub, b.features, b.labels, b.mask)
-            else:
+            if allow_scan and len(pending) > 1:
                 # device-side stack: prefetched batches already live on-chip,
                 # a host np.stack would round-trip them
                 f = jnp.stack([jnp.asarray(b.features) for b in pending])
@@ -215,47 +254,63 @@ class AdhocRanker:
                 self._key, sub = jax.random.split(self._key)
                 self.params, self.opt_state, loss = self._compiled_scan_step(
                     self.params, self.opt_state, sub, f, l, m)
-            # keep losses on device: a float() here would sync every step and
-            # stall XLA's async dispatch pipeline
-            losses.append(loss)
+                losses.append(loss)
+            else:
+                for b in pending:
+                    self._key, sub = jax.random.split(self._key)
+                    self.params, self.opt_state, loss = self._compiled_step(
+                        self.params, self.opt_state, sub, b.features, b.labels, b.mask)
+                    losses.append(loss)
             pending.clear()
 
         for batch in batches:
             if check:
-                flush()
+                flush(allow_scan=False)
                 scores = self._compiled_predict(self.params, batch.features, batch.mask)
                 finite = jnp.all(jnp.isfinite(jnp.where(batch.mask, scores, 0.0)))
                 nonzero = jnp.any(jnp.where(batch.mask, scores, 0.0) != 0.0)
                 if not bool(finite) or not bool(nonzero):
                     return float("nan"), True
             num_queries += int(np.sum(np.asarray(batch.mask).any(axis=-1)))
-            if self.scan_steps <= 1:
-                pending.append(batch)
-                flush()
-                continue
             if pending and pending[0].features.shape != batch.features.shape:
-                # bucket boundary: run what we have per-step (a fresh scan
-                # length would cost a compile for a once-per-epoch remainder)
-                for b in pending:
-                    self._key, sub = jax.random.split(self._key)
-                    self.params, self.opt_state, loss = self._compiled_step(
-                        self.params, self.opt_state, sub, b.features, b.labels, b.mask)
-                    losses.append(loss)
-                pending.clear()
+                flush(allow_scan=False)  # bucket boundary
             pending.append(batch)
-            if len(pending) == self.scan_steps:
-                flush()
-        if self.scan_steps > 1 and 1 < len(pending) < self.scan_steps:
-            # epoch-tail remainder: per-step to avoid a remainder-K compile
-            for b in pending:
-                self._key, sub = jax.random.split(self._key)
-                self.params, self.opt_state, loss = self._compiled_step(
-                    self.params, self.opt_state, sub, b.features, b.labels, b.mask)
-                losses.append(loss)
-            pending.clear()
-        flush()
+            if len(pending) >= max(self.scan_steps, 1):
+                flush(allow_scan=self.scan_steps > 1)
+        flush(allow_scan=False)  # epoch tail
         total_loss = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
         return total_loss / max(num_queries, 1), False
+
+    def train_epoch_resident(self, res, epoch_k: int = 1,
+                             shuffle: bool = True) -> Tuple[float, bool]:
+        """One epoch over a DeviceResidentDataset: the gather-fused step runs
+        a whole K-batch chunk per dispatch, reading batches straight out of
+        the resident bucket arrays — per-epoch host->device traffic is just
+        the [k, B] index chunks."""
+        self.opt_state = set_lr(self.opt_state, epoch_lr(self.opt_cfg, epoch_k))
+        losses = []
+        checked = (epoch_k % self.stop_check_freq) != 0
+        for bucket, idx_k, _n_real in res.epoch_index_chunks(
+                shuffle, epoch_k, self.scan_steps):
+            feats_all, labels_all, mask_all = res.bucket_arrays(bucket)
+            if not checked:  # NaN/zero guard once per check epoch
+                idx0 = jnp.asarray(idx_k[0])
+                f0 = jnp.take(feats_all, idx0, axis=0)
+                m0 = jnp.take(mask_all, idx0, axis=0)
+                scores = self._compiled_predict(self.params, f0, m0)
+                masked = jnp.where(m0, scores, 0.0)
+                if not bool(jnp.all(jnp.isfinite(masked))) or not bool(jnp.any(masked != 0.0)):
+                    return float("nan"), True
+                checked = True
+            self._key, sub = jax.random.split(self._key)
+            self.params, self.opt_state, loss = self._compiled_gather_scan(
+                self.params, self.opt_state, sub, feats_all, labels_all,
+                mask_all, jnp.asarray(idx_k))
+            losses.append(loss)
+        total_loss = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
+        if not np.isfinite(total_loss):
+            return float("nan"), True
+        return total_loss / max(res.num_queries, 1), False
 
     def predict(self, batch: RankingBatch) -> jnp.ndarray:
         return self._compiled_predict(self.params, batch.features, batch.mask)
@@ -277,30 +332,40 @@ class AdhocRanker:
         Same-shape batches are evaluated K per dispatch (per-batch BN
         semantics preserved — see _build_eval) to amortize dispatch cost."""
         ks = tuple(ks)
+        # a dataset object (has .batches) may be passed directly; the
+        # device-resident kind takes the gather-fused path
+        if hasattr(batches, "batches"):
+            from ptranking_tpu.data.device_cache import DeviceResidentDataset
+
+            if isinstance(batches, DeviceResidentDataset):
+                return self._evaluate_resident(batches, ks)
+            batches = batches.batches()
         device_sums = []  # device-side; one host sync at the end
         pending: list = []
 
-        def flush():
+        def flush(allow_scan: bool = True):
+            # full chunks use the fused program; boundaries/tails run
+            # per-batch so no remainder-K program is ever compiled
             if not pending:
                 return
-            if len(pending) == 1 or self.scan_steps <= 1:
-                for b in pending:
-                    device_sums.append(self._compiled_eval(
-                        self.params, b.features, b.labels, b.mask, ks))
-            else:
+            if allow_scan and len(pending) > 1:
                 f = jnp.stack([jnp.asarray(b.features) for b in pending])
                 l = jnp.stack([jnp.asarray(b.labels) for b in pending])
                 m = jnp.stack([jnp.asarray(b.mask) for b in pending])
                 device_sums.append(self._compiled_eval_scan(self.params, f, l, m, ks))
+            else:
+                for b in pending:
+                    device_sums.append(self._compiled_eval(
+                        self.params, b.features, b.labels, b.mask, ks))
             pending.clear()
 
         for batch in batches:
             if pending and pending[0].features.shape != batch.features.shape:
-                flush()
+                flush(allow_scan=False)
             pending.append(batch)
-            if len(pending) == max(self.scan_steps, 1):
-                flush()
-        flush()
+            if len(pending) >= max(self.scan_steps, 1):
+                flush(allow_scan=self.scan_steps > 1)
+        flush(allow_scan=False)
         if not device_sums:
             return {m: np.zeros(len(ks)) for m in ("nDCG", "nERR", "AP", "P")}
         acc: Dict[str, np.ndarray] = {}
@@ -313,8 +378,26 @@ class AdhocRanker:
             return {m: np.zeros(len(ks)) for m in ("nDCG", "nERR", "AP", "P")}
         return {m: acc[m] / count for m in acc}
 
-    def validation(self, batches: Iterable[RankingBatch], k: int = 5, metric: str = "nDCG") -> float:
-        """Validation scalar (reference validation, base/ranker.py:189-200)."""
+    def _evaluate_resident(self, res, ks) -> Dict[str, np.ndarray]:
+        """Gather-fused dataset evaluation over a DeviceResidentDataset."""
+        device_sums = []
+        for bucket, idx_k, _ in res.epoch_index_chunks(False, 0, self.scan_steps):
+            f, l, m = res.bucket_arrays(bucket)
+            device_sums.append(self._compiled_eval_gather(
+                self.params, f, l, m, jnp.asarray(idx_k), ks))
+        acc: Dict[str, np.ndarray] = {}
+        count = 0.0
+        for sums in device_sums:
+            count += float(sums["count"])
+            for name in ("nDCG", "nERR", "AP", "P"):
+                acc[name] = acc.get(name, 0.0) + np.asarray(sums[name])
+        if count == 0:
+            return {name: np.zeros(len(ks)) for name in ("nDCG", "nERR", "AP", "P")}
+        return {name: acc[name] / count for name in acc}
+
+    def validation(self, batches, k: int = 5, metric: str = "nDCG") -> float:
+        """Validation scalar (reference validation, base/ranker.py:189-200).
+        Accepts an iterator of batches or a dataset object."""
         return float(self.evaluate(batches, ks=(k,))[metric][0])
 
     def evaluate_per_query(self, batches: Iterable[RankingBatch],
@@ -373,6 +456,11 @@ class AdhocRanker:
     def load(self, path: str):
         with open(path, "rb") as f:
             ckpt = pickle.load(f)
+        return self.restore(ckpt)
+
+    def restore(self, ckpt: Dict[str, Any]):
+        """Populate params/opt-state/key from an in-memory checkpoint dict
+        (lets resume paths read the pickle once for both state and metadata)."""
         assert ckpt["model_id"] == self.model_id, (ckpt["model_id"], self.model_id)
         to_dev = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
         self.params = to_dev(ckpt["params"])

@@ -210,3 +210,49 @@ def test_generator_stop_guard():
     # poison the params -> NaN predictions must trip the guard
     g.params = jax.tree_util.tree_map(lambda a: jnp.full_like(a, jnp.nan), g.params)
     assert g.stop_training(batch) is True
+
+
+def test_truth_sampling_keeps_adversarial_coupling():
+    """With a non-uniform truth sampler, D's step must still depend on G
+    (negatives are generator-sampled): changing G's params must change D's
+    update."""
+    import dataclasses
+
+    ds = _small_ds()
+    sf = SFSetting(debug=True, sf_id="pointsf")
+    sf_para = sf.default_setting(num_features=24)
+    sf_para["scorer"] = dataclasses.replace(
+        sf_para["scorer"], num_features=24, num_layers=2, h_dim=16, dropout=0.0)
+    m = AD_MACHINES["IRGAN_Pair"](
+        sf_para=sf_para,
+        ad_para_dict=dict(AD_DEFAULT_PARAS["IRGAN_Pair"], truth_sampling="discounted"),
+        seed=3)
+    b = next(iter(ds.batches()))
+    key = jax.random.PRNGKey(0)
+    d0 = jax.tree_util.tree_map(jnp.copy, m.discriminator.params)
+    o0 = jax.tree_util.tree_map(jnp.copy, m.discriminator.opt_state)
+    args = (jnp.asarray(b.features), jnp.asarray(b.labels), jnp.asarray(b.mask))
+    _, _, loss_g1 = m._d_step(jax.tree_util.tree_map(jnp.copy, d0),
+                              jax.tree_util.tree_map(jnp.copy, o0),
+                              m.generator.params, key, *args)
+    # perturb G: the D loss must change (negatives come from G's scores)
+    g2 = jax.tree_util.tree_map(lambda a: a + 1.0, m.generator.params)
+    _, _, loss_g2 = m._d_step(jax.tree_util.tree_map(jnp.copy, d0),
+                              jax.tree_util.tree_map(jnp.copy, o0),
+                              g2, key, *args)
+    assert float(loss_g1) != float(loss_g2), "D decoupled from G under truth sampling"
+
+
+def test_discounted_pairs_exclude_unjudged_tails():
+    """Semi-supervised -1 labels: the reference clips tails to explicitly
+    judged docs (pair_sampling.py num_explicit); (l, -1) gaps carry no
+    sampling weight."""
+    from ptranking_tpu.adversarial.util import weighted_clipped_pos_diffs
+
+    labels = jnp.asarray([[1.0, 0.0, -1.0, -1.0]])
+    mask = jnp.ones((1, 4), bool)
+    w = np.asarray(weighted_clipped_pos_diffs(labels, mask))[0]
+    # only the (1, 0) pair survives
+    assert w[0, 1] > 0
+    assert w[:, 2:].sum() == 0.0, w  # no unjudged tails
+    assert w[1:, :].sum() == w[1, 1:].sum() == 0.0  # no zero/unjudged heads

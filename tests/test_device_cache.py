@@ -1,0 +1,91 @@
+"""Device-resident dataset tests: batch-schedule equivalence with the
+streamed BucketedDataset, and the gather-fused training path."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ptranking_tpu.data import BucketedDataset, make_synthetic_queries
+from ptranking_tpu.data.device_cache import (
+    DeviceResidentDataset,
+    maybe_device_resident,
+    packed_nbytes,
+)
+from ptranking_tpu.models import ScorerConfig
+from ptranking_tpu.train import AdhocRanker, OptimizerConfig
+
+
+def _ds(n=23, seed=3):
+    qs = make_synthetic_queries(num_queries=n, num_features=12, seed=seed,
+                                min_docs=5, max_docs=30)
+    return BucketedDataset(qs, batch_docs=64, num_features=12)
+
+
+def test_resident_batches_match_streamed():
+    ds = _ds()
+    res = DeviceResidentDataset(ds)
+    for shuffle, epoch in ((False, 0), (True, 3)):
+        for b1, b2 in zip(ds.batches(shuffle=shuffle, epoch=epoch),
+                          res.batches(shuffle=shuffle, epoch=epoch)):
+            np.testing.assert_allclose(np.asarray(b2.features), b1.features)
+            np.testing.assert_allclose(np.asarray(b2.labels), b1.labels)
+            np.testing.assert_array_equal(np.asarray(b2.mask), b1.mask)
+            np.testing.assert_array_equal(np.asarray(b2.qids), b1.qids)
+    assert len(res) == len(ds) and res.num_queries == ds.num_queries
+
+
+def test_epoch_index_chunks_cover_schedule():
+    ds = _ds()
+    res = DeviceResidentDataset(ds)
+    streamed = list(ds.batches(shuffle=True, epoch=5))
+    total_real = sum(int(np.asarray(b.mask).any(axis=-1).sum()) for b in streamed)
+    chunk_real = 0
+    n_batches = 0
+    for bucket, idx_k, n_real in res.epoch_index_chunks(shuffle=True, epoch=5,
+                                                        chunk_size=3):
+        chunk_real += n_real
+        n_batches += idx_k.shape[0]
+        f, l, m = res.bucket_arrays(bucket)
+        assert idx_k.max() <= f.shape[0] - 1  # sentinel row is the max index
+    assert chunk_real == total_real == ds.num_queries
+    assert n_batches == len(streamed)
+
+
+def test_gather_fused_training_matches_streamed_learning():
+    ds = _ds(n=48, seed=7)
+    res = DeviceResidentDataset(ds)
+    cfg = ScorerConfig(sf_id="pointsf", num_features=12, num_layers=2,
+                       h_dim=16, dropout=0.0, apply_tl_af=False)
+
+    def run(resident):
+        r = AdhocRanker("RankNet", cfg, opt_cfg=OptimizerConfig(opt="Adam", lr=1e-2),
+                        scan_steps=4).init()
+        for e in range(1, 6):
+            if resident:
+                loss, stop = r.train_epoch_resident(res, e)
+            else:
+                loss, stop = r.train_epoch(ds.batches(shuffle=True, epoch=e), e)
+            assert not stop and np.isfinite(loss)
+        return r.validation(res.batches(), k=5)
+
+    v_res, v_str = run(True), run(False)
+    assert v_res > 0.5 and v_str > 0.5, (v_res, v_str)
+
+
+def test_gather_fused_nan_guard_trips():
+    ds = _ds(n=12, seed=9)
+    res = DeviceResidentDataset(ds)
+    cfg = ScorerConfig(sf_id="pointsf", num_features=12, num_layers=2,
+                       h_dim=16, dropout=0.0, apply_tl_af=False)
+    r = AdhocRanker("RankNet", cfg, scan_steps=4).init()
+    import jax
+
+    r.params = jax.tree_util.tree_map(lambda a: jnp.full_like(a, jnp.nan), r.params)
+    loss, stop = r.train_epoch_resident(res, epoch_k=r.stop_check_freq)
+    assert stop is True
+
+
+def test_maybe_device_resident_budget():
+    ds = _ds()
+    assert isinstance(maybe_device_resident(ds, budget_bytes=packed_nbytes(ds) + 1),
+                      DeviceResidentDataset)
+    assert maybe_device_resident(ds, budget_bytes=16) is ds
