@@ -41,6 +41,79 @@ class AdversarialMachine:
 
     def __init__(self, sf_para: Dict[str, Any], ad_para_dict: Dict[str, Any]):
         self.ad_para_dict = ad_para_dict
+        # batches per fused device dispatch in the D/G passes (see
+        # train/ranker.py scan_step: dispatch latency dominates small steps)
+        self.scan_steps = max(int(ad_para_dict.get("scan_steps", 8)), 1)
+        self._scan_cache: Dict[int, Any] = {}
+
+    def _scan_pass_for(self, step):
+        """jit a K-batch scan around a (params, opt_state, other, key, f, l,
+        m) player step; cached per step identity."""
+        import functools
+
+        cached = self._scan_cache.get(id(step))
+        if cached is not None:
+            return cached
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def scan_pass(params, opt_state, other, key, f_k, l_k, m_k):
+            K = f_k.shape[0]
+            keys = jax.random.split(key, K)
+
+            def body(carry, inp):
+                params, opt_state = carry
+                sub, f, l, m = inp
+                params, opt_state, loss = step(params, opt_state, other, sub, f, l, m)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (keys, f_k, l_k, m_k))
+            return params, opt_state, jnp.sum(losses)
+
+        self._scan_cache[id(step)] = scan_pass
+        return scan_pass
+
+    def _fused_pass(self, step, player, other_params, train_data,
+                    key_attr: str = "_key"):
+        """Run one pass of `step` over the batches with K-batch scan fusion;
+        returns True when a chunk loss went non-finite (stop signal)."""
+        scan_pass = self._scan_pass_for(step)
+        pending = []
+        stop = False
+
+        def flush(allow_scan: bool):
+            nonlocal stop
+            if not pending or stop:
+                pending.clear()
+                return
+            self._key, sub = jax.random.split(self._key)
+            if allow_scan and len(pending) > 1:
+                f = jnp.stack([jnp.asarray(b.features) for b in pending])
+                l = jnp.stack([jnp.asarray(b.labels) for b in pending])
+                m = jnp.stack([jnp.asarray(b.mask) for b in pending])
+                player.params, player.opt_state, loss = scan_pass(
+                    player.params, player.opt_state, other_params, sub, f, l, m)
+            else:
+                loss = 0.0
+                for b in pending:
+                    self._key, sub = jax.random.split(self._key)
+                    player.params, player.opt_state, one = step(
+                        player.params, player.opt_state, other_params, sub,
+                        jnp.asarray(b.features), jnp.asarray(b.labels),
+                        jnp.asarray(b.mask))
+                    loss = loss + one
+            if not bool(jnp.isfinite(jnp.asarray(loss))):
+                stop = True
+            pending.clear()
+
+        for b in train_data:
+            if pending and pending[0].features.shape != b.features.shape:
+                flush(allow_scan=False)  # bucket boundary
+            pending.append(b)
+            if len(pending) >= self.scan_steps:
+                flush(allow_scan=self.scan_steps > 1)
+        flush(allow_scan=False)  # tail
+        return stop
 
     def pre_check(self):
         pass

@@ -150,23 +150,13 @@ class IRGAN_Point(AdversarialMachine):
         self._d_step, self._g_step = d_step, g_step
 
     def _d_pass(self, train_data):
-        g, d = self.generator, self.discriminator
-        for b in train_data:
-            self._key, sub = jax.random.split(self._key)
-            d.params, d.opt_state, _ = self._d_step(
-                d.params, d.opt_state, g.params, sub,
-                jnp.asarray(b.features), jnp.asarray(b.labels), jnp.asarray(b.mask))
+        # K-batch fused pass (base._fused_pass): dispatch-bound otherwise
+        self._fused_pass(self._d_step, self.discriminator,
+                         self.generator.params, train_data)
 
     def _g_pass(self, train_data) -> bool:
-        g, d = self.generator, self.discriminator
-        for b in train_data:
-            self._key, sub = jax.random.split(self._key)
-            g.params, g.opt_state, loss = self._g_step(
-                g.params, g.opt_state, d.params, sub,
-                jnp.asarray(b.features), jnp.asarray(b.labels), jnp.asarray(b.mask))
-            if not bool(jnp.isfinite(loss)):
-                return True
-        return False
+        return self._fused_pass(self._g_step, self.generator,
+                                self.discriminator.params, train_data)
 
     def mini_max_train(self, train_data=None) -> bool:
         batches = list(train_data)

@@ -143,3 +143,69 @@ def maybe_device_resident(ds: BucketedDataset, budget_bytes: int = 1 << 30):
     if packed_nbytes(ds) <= budget_bytes:
         return DeviceResidentDataset(ds)
     return ds
+
+
+class DivDeviceResidentDataset:
+    """Device-resident twin for the diversification branch (DivBucketedDataset):
+    same upload-once + sentinel-row + index-chunk contract as
+    DeviceResidentDataset, over (q_repr, doc_reprs, rele_mat, doc_mask,
+    subtopic_mask) buckets."""
+
+    def __init__(self, ds):
+        import jax.numpy as jnp
+
+        self.ds = ds
+        self.num_queries = ds.num_queries
+        self.batch_queries = ds.batch_queries
+        self._dev = {}
+        for b, arrs in ds._packed.items():
+            padded = []
+            for a in arrs:
+                padded.append(jnp.asarray(
+                    np.concatenate([a, np.zeros((1, *a.shape[1:]), a.dtype)], axis=0)))
+            self._dev[b] = tuple(padded)
+
+    def query_for(self, batch, row: int):
+        return self.ds.query_for(batch, row)
+
+    def bucket_arrays(self, bucket: int):
+        return self._dev[bucket]
+
+    def epoch_index_chunks(self, shuffle: bool = False, epoch: int = 0,
+                           chunk_size: int = 8):
+        """(bucket, idx [k, B] int64, num_real) chunks covering the exact
+        schedule of batches(shuffle, epoch)."""
+        rng = np.random.RandomState(self.ds.seed + epoch)
+        B = self.batch_queries
+        for b in self._dev:
+            Q = self._dev[b][0].shape[0] - 1
+            idx = rng.permutation(Q) if shuffle else np.arange(Q)
+            rows, real = [], []
+            for lo in range(0, Q, B):
+                sl = idx[lo:lo + B]
+                row = np.full((B,), Q, np.int64)
+                row[:len(sl)] = sl
+                rows.append(row)
+                real.append(len(sl))
+            for lo in range(0, len(rows), chunk_size):
+                sub = rows[lo:lo + chunk_size]
+                yield b, np.stack(sub), int(sum(real[lo:lo + chunk_size]))
+
+    def batches(self, shuffle: bool = False, epoch: int = 0):
+        """On-device gathered DivBatch stream, schedule-equivalent to the
+        wrapped dataset."""
+        import jax.numpy as jnp
+
+        from ptranking_tpu.diversification.data import DivBatch
+
+        for b, idx_k, _ in self.epoch_index_chunks(shuffle, epoch, 1):
+            q, d, rm, dm, sm = self._dev[b]
+            sl = jnp.asarray(idx_k[0])
+            Q = q.shape[0] - 1
+            qids = np.where(idx_k[0] < Q, idx_k[0], -1).astype(np.int32)
+            yield DivBatch(jnp.take(q, sl, 0), jnp.take(d, sl, 0),
+                           jnp.take(rm, sl, 0), jnp.take(dm, sl, 0),
+                           jnp.take(sm, sl, 0), qids)
+
+    def __len__(self):
+        return len(self.ds)

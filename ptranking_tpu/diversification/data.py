@@ -162,33 +162,49 @@ class DivBucketedDataset:
             b = next(x for x in self.doc_buckets if x >= q.doc_reprs.shape[0])
             self._by_bucket[b].append(q)
         self.num_queries = len(queries)
-
-    def batches(self, shuffle: bool = False, epoch: int = 0) -> Iterator[DivBatch]:
-        rng = np.random.RandomState(self.seed + epoch)
+        # pack each bucket into contiguous padded arrays ONCE (the per-epoch
+        # Python padding loop used to rebuild every batch from scratch)
         S, D = self.max_subtopics, self.num_features
+        self._packed = {}
         for b, items in self._by_bucket.items():
             if not items:
                 continue
-            idx = rng.permutation(len(items)) if shuffle else np.arange(len(items))
+            Q = len(items)
+            q_repr = np.zeros((Q, D), np.float32)
+            doc_reprs = np.zeros((Q, b, D), np.float32)
+            rele = np.zeros((Q, S, b), np.float32)
+            dmask = np.zeros((Q, b), bool)
+            smask = np.zeros((Q, S), bool)
+            for i, q in enumerate(items):
+                n, s = q.doc_reprs.shape[0], q.rele_mat.shape[0]
+                q_repr[i] = q.q_repr
+                doc_reprs[i, :n] = q.doc_reprs
+                rele[i, :s, :n] = q.rele_mat
+                dmask[i, :n] = True
+                smask[i, :s] = True
+            self._packed[b] = (q_repr, doc_reprs, rele, dmask, smask)
+
+    def batches(self, shuffle: bool = False, epoch: int = 0) -> Iterator[DivBatch]:
+        rng = np.random.RandomState(self.seed + epoch)
+        for b in self._packed:
+            q_repr, doc_reprs, rele, dmask, smask = self._packed[b]
+            Q = q_repr.shape[0]
+            idx = rng.permutation(Q) if shuffle else np.arange(Q)
             B = self.batch_queries
-            for lo in range(0, len(items), B):
-                chunk = [items[i] for i in idx[lo:lo + B]]
-                nb = len(chunk)
-                q_repr = np.zeros((B, D), np.float32)
-                doc_reprs = np.zeros((B, b, D), np.float32)
-                rele = np.zeros((B, S, b), np.float32)
-                dmask = np.zeros((B, b), bool)
-                smask = np.zeros((B, S), bool)
-                for i, q in enumerate(chunk):
-                    n, s = q.doc_reprs.shape[0], q.rele_mat.shape[0]
-                    q_repr[i] = q.q_repr
-                    doc_reprs[i, :n] = q.doc_reprs
-                    rele[i, :s, :n] = q.rele_mat
-                    dmask[i, :n] = True
-                    smask[i, :s] = True
-                qids = np.full((B,), -1, np.int32)  # pad rows marked -1
-                qids[:nb] = idx[lo:lo + nb]  # index into this bucket's items
-                yield DivBatch(q_repr, doc_reprs, rele, dmask, smask, qids)
+            for lo in range(0, Q, B):
+                sl = idx[lo:lo + B]
+                nb = len(sl)
+                if nb == B:
+                    yield DivBatch(q_repr[sl], doc_reprs[sl], rele[sl],
+                                   dmask[sl], smask[sl], sl.astype(np.int32))
+                    continue
+                # padded remainder batch (all-masked tail rows, qid -1)
+                pad = lambda a: np.concatenate(
+                    [a[sl], np.zeros((B - nb, *a.shape[1:]), a.dtype)], axis=0)
+                qids = np.full((B,), -1, np.int32)
+                qids[:nb] = sl
+                yield DivBatch(pad(q_repr), pad(doc_reprs), pad(rele),
+                               pad(dmask), pad(smask), qids)
 
     def query_for(self, batch: DivBatch, row: int) -> Optional[DivQuery]:
         """Public accessor: the DivQuery behind `batch` row `row`, or None for

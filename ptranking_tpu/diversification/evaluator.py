@@ -175,13 +175,23 @@ class DivLTREvaluator:
             train = DivBucketedDataset(train_qs, batch_queries=batch_queries)
             vali = DivBucketedDataset(vali_qs, batch_queries=batch_queries)
             test = DivBucketedDataset(test_qs, batch_queries=batch_queries)
+            if eval_dict.get("device_resident", True):
+                # upload once; per-epoch traffic = index chunks only (the
+                # 500-epoch default makes this the dominant wall-clock win)
+                from ptranking_tpu.data.device_cache import DivDeviceResidentDataset
+
+                train = DivDeviceResidentDataset(train)
+                vali = DivDeviceResidentDataset(vali)
+                test_res = DivDeviceResidentDataset(test)
+            else:
+                test_res = test
             ranker = DivRanker(model_id, scorer_cfg, model_paras=paras,
                                opt_cfg=opt_cfg, seed=137 + fold_k).init()
             if reproduce:
                 ckpt = get_opt_model(os.path.join(dir_run, f"Fold-{fold_k}"))
                 assert ckpt, f"no checkpoint for fold {fold_k} under {dir_run}"
                 ranker.load(ckpt)
-                cv_tape.fold_evaluation(ranker, test.batches(), fold_k)
+                cv_tape.fold_evaluation(ranker, test_res, fold_k)
                 amean, per_q = self._write_fold_run(ranker, test, test_qs, dir_run, fold_k,
                                                     need_per_q=True)
                 if amean is not None:
@@ -191,14 +201,20 @@ class DivLTREvaluator:
             tape = ValidationTape(fold_k, epochs, vali_metric, vali_k, dir_run)
             summary = (DivSummaryTape(do_vali, cutoffs, dir_run, fold_k)
                        if do_summary else None)
+            from ptranking_tpu.data.device_cache import DivDeviceResidentDataset
+
+            resident = isinstance(train, DivDeviceResidentDataset)
             for epoch_k in range(1, epochs + 1):
-                epoch_loss, stop = ranker.train_epoch(
-                    train.batches(shuffle=True, epoch=epoch_k), epoch_k)
+                if resident:
+                    epoch_loss, stop = ranker.train_epoch_resident(train, epoch_k)
+                else:
+                    epoch_loss, stop = ranker.train_epoch(
+                        train.batches(shuffle=True, epoch=epoch_k), epoch_k)
                 if stop:
                     print("training is failed !")
                     break
                 if do_vali:
-                    v = ranker.validation(vali.batches(), k=vali_k, metric=vali_metric)
+                    v = ranker.validation(vali, k=vali_k, metric=vali_metric)
                     tape.epoch_validation(epoch_k, v, ranker)
                 if summary:
                     summary.epoch_summary(epoch_loss, ranker, train, vali, test)
@@ -215,7 +231,7 @@ class DivLTREvaluator:
                                          f"net_params_epoch_{epochs}.pkl"))
             if summary:
                 summary.fold_summary(train_data_length=train.num_queries)
-            cv_tape.fold_evaluation(ranker, test.batches(), fold_k)
+            cv_tape.fold_evaluation(ranker, test_res, fold_k)
             if write_run_files:
                 self._write_fold_run(ranker, test, test_qs, dir_run, fold_k)
 

@@ -111,6 +111,30 @@ class DivRanker:
 
         self._scan_step = scan_step
 
+        # gather-fused variant for device-resident data (one dispatch per
+        # K-batch chunk, index-only host->device traffic; see
+        # train/ranker.py gather_scan_step)
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def gather_scan_step(params, opt_state, key, q_all, d_all, r_all,
+                             m_all, idx_k):
+            K = idx_k.shape[0]
+            keys = jax.random.split(key, K)
+
+            def body(carry, inp):
+                params, opt_state = carry
+                sub, idx = inp
+                params, opt_state, loss = step(
+                    params, opt_state, sub,
+                    jnp.take(q_all, idx, 0), jnp.take(d_all, idx, 0),
+                    jnp.take(r_all, idx, 0), jnp.take(m_all, idx, 0))
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (keys, idx_k))
+            return params, opt_state, jnp.sum(losses)
+
+        self._gather_scan_step = gather_scan_step
+
         @jax.jit
         def predict(params, q_repr, doc_reprs, dmask):
             return div_predict(params, cfg, q_repr, doc_reprs, dmask)
@@ -134,7 +158,37 @@ class DivRanker:
 
         self._eval = eval_batch
 
+        # gather-fused dataset eval over the resident bucket arrays
+        @functools.partial(jax.jit, static_argnums=(7,))
+        def eval_gather(params, q_all, d_all, r_all, m_all, s_all, idx_k, ks):
+            def one(idx):
+                return eval_batch(params, jnp.take(q_all, idx, 0),
+                                  jnp.take(d_all, idx, 0), jnp.take(r_all, idx, 0),
+                                  jnp.take(m_all, idx, 0), ks,
+                                  jnp.take(s_all, idx, 0))
+            outs = jax.vmap(one)(idx_k)
+            return {k: jnp.sum(v, axis=0) for k, v in outs.items()}
+
+        self._eval_gather = eval_gather
+
     # ------------------------------------------------------------------ api
+
+    def train_epoch_resident(self, res, epoch_k: int = 1, shuffle: bool = True):
+        """One epoch over a DivDeviceResidentDataset via the gather-fused
+        step (index-only per-epoch host->device traffic)."""
+        self.opt_state = set_lr(self.opt_state, epoch_lr(self.opt_cfg, epoch_k))
+        losses = []
+        scan_k = max(self.scan_steps, 1)
+        for bucket, idx_k, _ in res.epoch_index_chunks(shuffle, epoch_k, scan_k):
+            q, d, rm, dm, _sm = res.bucket_arrays(bucket)
+            self._key, sub = jax.random.split(self._key)
+            self.params, self.opt_state, loss = self._gather_scan_step(
+                self.params, self.opt_state, sub, q, d, rm, dm, jnp.asarray(idx_k))
+            losses.append(loss)
+        total = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
+        if not np.isfinite(total):  # NaN stop guard (stop_training parity)
+            return float("nan"), True
+        return total / max(res.num_queries, 1), False
 
     def train_epoch(self, batches: Iterable[DivBatch], epoch_k: int = 1):
         self.opt_state = set_lr(self.opt_state, epoch_lr(self.opt_cfg, epoch_k))
@@ -186,8 +240,27 @@ class DivRanker:
         return self._predict(self.params, jnp.asarray(batch.q_repr),
                              jnp.asarray(batch.doc_reprs), jnp.asarray(batch.doc_mask))
 
-    def evaluate(self, batches: Iterable[DivBatch], ks=(1, 3, 5, 10, 20)):
+    def evaluate(self, batches, ks=(1, 3, 5, 10, 20)):
+        """Accepts an iterator of DivBatch or a dataset object; the
+        device-resident kind takes the gather-fused path."""
         ks = tuple(ks)
+        if hasattr(batches, "batches"):
+            from ptranking_tpu.data.device_cache import DivDeviceResidentDataset
+
+            if isinstance(batches, DivDeviceResidentDataset):
+                device_sums = []
+                for bucket, idx_k, _ in batches.epoch_index_chunks(
+                        False, 0, max(self.scan_steps, 1)):
+                    q, d, rm, dm, sm = batches.bucket_arrays(bucket)
+                    device_sums.append(self._eval_gather(
+                        self.params, q, d, rm, dm, sm, jnp.asarray(idx_k), ks))
+                acc, count = {}, 0.0
+                for out in device_sums:
+                    count += float(out["count"])
+                    for m in ("aNDCG", "ERR-IA", "nERR-IA"):
+                        acc[m] = acc.get(m, 0.0) + np.asarray(out[m])
+                return {m: v / max(count, 1.0) for m, v in acc.items()} if acc else {}
+            batches = batches.batches()
         acc, count = {}, 0.0
         for b in batches:
             out = self._eval(self.params, jnp.asarray(b.q_repr), jnp.asarray(b.doc_reprs),

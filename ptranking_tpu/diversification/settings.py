@@ -409,12 +409,12 @@ class DivSummaryTape:
     def epoch_summary(self, epoch_loss: float, ranker, train_data, vali_data, test_data):
         self.list_epoch_loss.append(float(epoch_loss))
         self.list_train.append(np.asarray(
-            ranker.evaluate(train_data.batches(), ks=self.cutoffs)["aNDCG"]))
+            ranker.evaluate(train_data, ks=self.cutoffs)["aNDCG"]))
         self.list_test.append(np.asarray(
-            ranker.evaluate(test_data.batches(), ks=self.cutoffs)["aNDCG"]))
+            ranker.evaluate(test_data, ks=self.cutoffs)["aNDCG"]))
         if self.do_validation:
             self.list_vali.append(np.asarray(
-                ranker.evaluate(vali_data.batches(), ks=self.cutoffs)["aNDCG"]))
+                ranker.evaluate(vali_data, ks=self.cutoffs)["aNDCG"]))
 
     def fold_summary(self, train_data_length: Optional[int] = None):
         import pickle

@@ -89,3 +89,45 @@ def test_maybe_device_resident_budget():
     assert isinstance(maybe_device_resident(ds, budget_bytes=packed_nbytes(ds) + 1),
                       DeviceResidentDataset)
     assert maybe_device_resident(ds, budget_bytes=16) is ds
+
+
+def test_div_resident_matches_streamed():
+    from ptranking_tpu.data.device_cache import DivDeviceResidentDataset
+    from ptranking_tpu.diversification import (
+        DivBucketedDataset, make_synthetic_div_queries)
+
+    qs = make_synthetic_div_queries(num_queries=11, num_features=16,
+                                    min_docs=5, max_docs=20, seed=3)
+    ds = DivBucketedDataset(qs, batch_queries=4)
+    res = DivDeviceResidentDataset(ds)
+    for b1, b2 in zip(ds.batches(shuffle=True, epoch=2),
+                      res.batches(shuffle=True, epoch=2)):
+        np.testing.assert_allclose(np.asarray(b2.q_repr), b1.q_repr)
+        np.testing.assert_allclose(np.asarray(b2.doc_reprs), b1.doc_reprs)
+        np.testing.assert_allclose(np.asarray(b2.rele_mat), b1.rele_mat)
+        np.testing.assert_array_equal(np.asarray(b2.doc_mask), b1.doc_mask)
+        np.testing.assert_array_equal(np.asarray(b2.subtopic_mask), b1.subtopic_mask)
+        np.testing.assert_array_equal(np.asarray(b2.qids), b1.qids)
+
+
+def test_div_resident_training_and_eval():
+    from ptranking_tpu.data.device_cache import DivDeviceResidentDataset
+    from ptranking_tpu.diversification import (
+        DivBucketedDataset, DivRanker, DivScorerConfig,
+        make_synthetic_div_queries)
+
+    qs = make_synthetic_div_queries(num_queries=12, num_features=16,
+                                    min_docs=6, max_docs=12, seed=5)
+    ds = DivBucketedDataset(qs, batch_queries=4)
+    res = DivDeviceResidentDataset(ds)
+    cfg = DivScorerConfig(sf_id="pointsf", num_features=16, h_dim=16,
+                          num_layers=2, dropout=0.0)
+    r = DivRanker("DALETOR", cfg, scan_steps=2).init()
+    for e in range(1, 4):
+        loss, stop = r.train_epoch_resident(res, e)
+        assert not stop and np.isfinite(loss)
+    # resident eval == streamed eval for the same params
+    m_res = r.evaluate(res, ks=(1, 5))
+    m_str = r.evaluate(ds.batches(), ks=(1, 5))
+    for k in m_str:
+        np.testing.assert_allclose(m_res[k], m_str[k], atol=1e-5)
