@@ -211,17 +211,68 @@ class IRFGAN_Pair(AdversarialMachine):
 
         self._joint_step = joint_step
 
+        # K-batch fused joint pass (see base._fused_pass): both players
+        # update inside one scanned dispatch
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+        def joint_scan(g_params, g_opt, d_params, d_opt, key, f_k, l_k, m_k):
+            K = f_k.shape[0]
+            keys = jax.random.split(key, K)
+
+            def body(carry, inp):
+                g_params, g_opt, d_params, d_opt = carry
+                sub, f, l, m = inp
+                g_params, g_opt, d_params, d_opt, d_loss, g_loss = joint_step(
+                    g_params, g_opt, d_params, d_opt, sub, f, l, m)
+                return (g_params, g_opt, d_params, d_opt), g_loss
+
+            carry, g_losses = jax.lax.scan(
+                body, (g_params, g_opt, d_params, d_opt), (keys, f_k, l_k, m_k))
+            return (*carry, jnp.sum(g_losses))
+
+        self._joint_scan = joint_scan
+
     def mini_max_train(self, train_data=None) -> bool:
         g, d = self.generator, self.discriminator
+        pending = []
+        stop = False
+
+        def flush(allow_scan: bool):
+            nonlocal stop
+            if not pending or stop:
+                pending.clear()
+                return
+            if allow_scan and len(pending) > 1:
+                f = jnp.stack([jnp.asarray(b.features) for b in pending])
+                l = jnp.stack([jnp.asarray(b.labels) for b in pending])
+                m = jnp.stack([jnp.asarray(b.mask) for b in pending])
+                self._key, sub = jax.random.split(self._key)
+                (g.params, g.opt_state, d.params, d.opt_state, g_loss) = \
+                    self._joint_scan(g.params, g.opt_state, d.params,
+                                     d.opt_state, sub, f, l, m)
+                if not bool(jnp.isfinite(g_loss)):
+                    stop = True
+            else:
+                for b in pending:
+                    self._key, sub = jax.random.split(self._key)
+                    (g.params, g.opt_state, d.params, d.opt_state, _d_loss, g_loss) = \
+                        self._joint_step(g.params, g.opt_state, d.params,
+                                         d.opt_state, sub,
+                                         jnp.asarray(b.features),
+                                         jnp.asarray(b.labels),
+                                         jnp.asarray(b.mask))
+                    if not bool(jnp.isfinite(g_loss)):
+                        stop = True
+                        break
+            pending.clear()
+
         for b in train_data:
-            self._key, sub = jax.random.split(self._key)
-            (g.params, g.opt_state, d.params, d.opt_state, d_loss, g_loss) = \
-                self._joint_step(g.params, g.opt_state, d.params, d.opt_state, sub,
-                                 jnp.asarray(b.features), jnp.asarray(b.labels),
-                                 jnp.asarray(b.mask))
-            if not bool(jnp.isfinite(g_loss)):
-                return True
-        return False
+            if pending and pending[0].features.shape != b.features.shape:
+                flush(allow_scan=False)
+            pending.append(b)
+            if len(pending) >= self.scan_steps:
+                flush(allow_scan=self.scan_steps > 1)
+        flush(allow_scan=False)
+        return stop
 
 
 class IRFGAN_List(AdversarialMachine):
