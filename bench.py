@@ -30,9 +30,24 @@ STEPS = 20
 WARMUP = 5
 RECORDED_TORCH_CPU_LISTS_PER_S = None  # filled by --record-baseline; see below
 
-# (B, N) operating grid; long-list points use a smaller batch to fit HBM
-SWEEP = [(128, 128), (512, 128), (2048, 128), (8, 1408), (32, 1408)]
-DTYPES = ["bfloat16", "float32"]
+# (B, N, dtype) operating grid, ordered HEADLINE-FIRST so a tight time
+# budget still measures the point that matters; long-list points use a
+# smaller batch to fit HBM
+SWEEP = [
+    (512, 128, "bfloat16"),    # headline / best point
+    (128, 128, "bfloat16"),
+    (2048, 128, "bfloat16"),
+    (512, 128, "float32"),
+    (32, 1408, "bfloat16"),
+    (8, 1408, "bfloat16"),
+    (128, 128, "float32"),
+    (2048, 128, "float32"),
+    (32, 1408, "float32"),
+    (8, 1408, "float32"),
+]
+# wall-clock budget: stop starting new sweep points once exceeded, so the
+# single JSON line always prints well inside any driver timeout
+BUDGET_S = float(__import__("os").environ.get("BENCH_BUDGET_S", "900"))
 
 # Peak dense bf16/fp32 FLOP/s per chip by device_kind (public TPU specs).
 # fp32 peak on TPU is ~1/2 the bf16 MXU peak (v4+) — MFU is reported against
@@ -268,21 +283,30 @@ def main():
     import jax
 
     device_kind = jax.devices()[0].device_kind
+    t_start = time.perf_counter()
     points = []
-    for dtype in DTYPES:
-        for B, N in SWEEP:
-            p = bench_point(B, N, dtype)
-            if p is not None:
-                points.append(p)
+    skipped = 0
+    for B, N, dtype in SWEEP:
+        if points and time.perf_counter() - t_start > BUDGET_S:
+            skipped += 1
+            continue
+        p = bench_point(B, N, dtype)
+        if p is not None:
+            points.append(p)
     assert points, "no operating point completed"
-    # headline = best lists/s at the flagship N=128 shape
-    best = max((p for p in points if p["N"] == 128), key=lambda p: p["lists_per_s"])
+    # headline = best lists/s at the flagship N=128 shape (any point if the
+    # flagship shape failed to run)
+    flagship = [p for p in points if p["N"] == 128] or points
+    best = max(flagship, key=lambda p: p["lists_per_s"])
     try:
         baseline = bench_torch_cpu()
     except Exception:
         baseline = RECORDED_TORCH_CPU_LISTS_PER_S
     try:
-        epoch = bench_real_epoch()
+        if time.perf_counter() - t_start > 1.6 * BUDGET_S:
+            epoch = {"skipped": "budget"}
+        else:
+            epoch = bench_real_epoch()
     except Exception as exc:
         epoch = {"error": type(exc).__name__}
     vs = (best["lists_per_s"] / baseline) if baseline else None
@@ -295,8 +319,9 @@ def main():
         "device": device_kind,
         "best_point": {k: best[k] for k in ("B", "N", "dtype")},
         "real_epoch": epoch,
+        "points_skipped_for_budget": skipped,
         "points": points,
-    }))
+    }), flush=True)
 
 
 if __name__ == "__main__":
