@@ -49,6 +49,7 @@ class DistributedTrainer:
         tp: bool = False,
         shard_docs: bool = False,
         cp_impl: str = "ring",  # 'ring' | 'ulysses' attention exchange
+        scan_steps: int = 8,    # batches per fused device dispatch
         seed: int = 137,
     ):
         self.model_id = model_id
@@ -62,6 +63,7 @@ class DistributedTrainer:
         self.shard_docs = shard_docs
         assert cp_impl in ("ring", "ulysses")
         self.cp_impl = cp_impl
+        self.scan_steps = max(int(scan_steps), 1)
         self.seed = seed
         self.stochastic = model_id in STOCHASTIC
 
@@ -198,6 +200,34 @@ class DistributedTrainer:
             donate_argnums=(0, 1),
         )
 
+        # K-batch fused step (see train/ranker.py scan_step): the stacked
+        # arrays keep the per-batch shardings on their trailing axes
+        # ([K, B, N, ...] with K replicated)
+        stacked_spec = jax.sharding.PartitionSpec(None, *bsh.spec)
+        stacked_sh = jax.sharding.NamedSharding(self.mesh, stacked_spec)
+
+        def scan_step(params, opt_state, key, features_k, labels_k, mask_k):
+            K = features_k.shape[0]
+            keys = jax.random.split(key, K)
+
+            def body(carry, inp):
+                params, opt_state = carry
+                sub, f, l, m = inp
+                params, opt_state, loss = step(params, opt_state, sub, f, l, m)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (keys, features_k, labels_k, mask_k))
+            return params, opt_state, jnp.sum(losses)
+
+        self._scan_step = jax.jit(
+            scan_step,
+            in_shardings=(self.param_shardings, self._opt_shardings_cached(), rep,
+                          stacked_sh, stacked_sh, stacked_sh),
+            out_shardings=(self.param_shardings, self._opt_shardings_cached(), rep),
+            donate_argnums=(0, 1),
+        )
+
         def eval_batch(params, features, labels, mask, ks):
             scores = apply_scorer(params, scorer_cfg, features, mask,
                                   training=False, cp=cp)
@@ -235,13 +265,36 @@ class DistributedTrainer:
 
         self.opt_state = set_lr(self.opt_state, epoch_lr(self.opt_cfg, epoch_k))
         losses, num_queries = [], 0
+        pending = []
+
+        def flush(allow_scan: bool = True):
+            if not pending:
+                return
+            if allow_scan and len(pending) > 1:
+                f = np.stack([np.asarray(b.features) for b in pending])
+                l = np.stack([np.asarray(b.labels) for b in pending])
+                m = np.stack([np.asarray(b.mask) for b in pending])
+                self._key, sub = jax.random.split(self._key)
+                self.params, self.opt_state, loss = self._scan_step(
+                    self.params, self.opt_state, sub, f, l, m)
+                losses.append(loss)
+            else:
+                for b in pending:
+                    self._key, sub = jax.random.split(self._key)
+                    f, l, m = self._put(b)
+                    self.params, self.opt_state, loss = self._step(
+                        self.params, self.opt_state, sub, f, l, m)
+                    losses.append(loss)  # device-side; one sync at epoch end
+            pending.clear()
+
         for batch in batches:
-            self._key, sub = jax.random.split(self._key)
-            f, l, m = self._put(batch)
-            self.params, self.opt_state, loss = self._step(
-                self.params, self.opt_state, sub, f, l, m)
-            losses.append(loss)  # device-side; one sync at epoch end
             num_queries += int(np.sum(np.asarray(batch.mask).any(axis=-1)))
+            if pending and np.asarray(pending[0].features).shape != np.asarray(batch.features).shape:
+                flush(allow_scan=False)  # bucket boundary: no remainder-K compiles
+            pending.append(batch)
+            if len(pending) >= self.scan_steps:
+                flush(allow_scan=self.scan_steps > 1)
+        flush(allow_scan=False)  # epoch tail
         total = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
         # NaN guard, reference stop_training parity (base/ranker.py:547-561).
         # `total` is already fetched to host every epoch, so the check is free

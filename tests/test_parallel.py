@@ -366,3 +366,23 @@ def test_gbdt_config_from_lightgbm_paras():
     assert cfg.max_depth == 9  # ceil(log2(400))
     assert cfg.learning_rate == 0.1
     assert cfg.early_stopping_rounds == 50
+
+
+def test_distributed_train_epoch_scan_fusion():
+    """DistributedTrainer.train_epoch fuses K same-shape batches per dispatch
+    under the mesh shardings; the fused epoch trains and learns."""
+    qs = make_synthetic_queries(num_queries=64, num_features=24, seed=3,
+                                min_docs=8, max_docs=16)
+    ds = BucketedDataset(qs, batch_docs=64, buckets=(16,))
+    mesh = make_mesh(MeshConfig(data=4, model=1, seq=2))
+    tr = DistributedTrainer("LambdaRank", _pointsf_cfg(), mesh, shard_docs=True,
+                            scan_steps=4,
+                            opt_cfg=OptimizerConfig(opt="Adam", lr=1e-2)).init()
+    losses = []
+    for e in range(1, 7):
+        loss, stop = tr.train_epoch(ds.batches(shuffle=True, epoch=e), e)
+        assert not stop and np.isfinite(loss)
+        losses.append(loss)
+    assert losses[-1] < losses[0]
+    m = tr.evaluate(ds.batches(), ks=(1, 5))
+    assert np.isfinite(m["nDCG"]).all()
