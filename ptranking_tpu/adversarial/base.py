@@ -73,29 +73,24 @@ class AdversarialMachine:
         self._scan_cache[id(step)] = scan_pass
         return scan_pass
 
-    def _fused_pass(self, step, player, other_params, train_data,
-                    key_attr: str = "_key"):
-        """Run one pass of `step` over the batches with K-batch scan fusion;
-        returns True when a chunk loss went non-finite (stop signal)."""
-        scan_pass = self._scan_pass_for(step)
-        pending = []
-        stop = False
+    def _fused_pass(self, step, player, other_params, train_data):
+        """Run one pass of `step` over the batches with K-batch scan fusion
+        (utils/chunking.py policy); returns True when a chunk loss went
+        non-finite (stop signal)."""
+        from ptranking_tpu.utils.chunking import iter_shape_chunks
 
-        def flush(allow_scan: bool):
-            nonlocal stop
-            if not pending or stop:
-                pending.clear()
-                return
+        scan_pass = self._scan_pass_for(step)
+        for chunk, fused in iter_shape_chunks(train_data, self.scan_steps):
             self._key, sub = jax.random.split(self._key)
-            if allow_scan and len(pending) > 1:
-                f = jnp.stack([jnp.asarray(b.features) for b in pending])
-                l = jnp.stack([jnp.asarray(b.labels) for b in pending])
-                m = jnp.stack([jnp.asarray(b.mask) for b in pending])
+            if fused:
+                f = jnp.stack([jnp.asarray(b.features) for b in chunk])
+                l = jnp.stack([jnp.asarray(b.labels) for b in chunk])
+                m = jnp.stack([jnp.asarray(b.mask) for b in chunk])
                 player.params, player.opt_state, loss = scan_pass(
                     player.params, player.opt_state, other_params, sub, f, l, m)
             else:
                 loss = 0.0
-                for b in pending:
+                for b in chunk:
                     self._key, sub = jax.random.split(self._key)
                     player.params, player.opt_state, one = step(
                         player.params, player.opt_state, other_params, sub,
@@ -103,17 +98,8 @@ class AdversarialMachine:
                         jnp.asarray(b.mask))
                     loss = loss + one
             if not bool(jnp.isfinite(jnp.asarray(loss))):
-                stop = True
-            pending.clear()
-
-        for b in train_data:
-            if pending and pending[0].features.shape != b.features.shape:
-                flush(allow_scan=False)  # bucket boundary
-            pending.append(b)
-            if len(pending) >= self.scan_steps:
-                flush(allow_scan=self.scan_steps > 1)
-        flush(allow_scan=False)  # tail
-        return stop
+                return True
+        return False
 
     def pre_check(self):
         pass

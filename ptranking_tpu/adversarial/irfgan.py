@@ -232,27 +232,22 @@ class IRFGAN_Pair(AdversarialMachine):
         self._joint_scan = joint_scan
 
     def mini_max_train(self, train_data=None) -> bool:
-        g, d = self.generator, self.discriminator
-        pending = []
-        stop = False
+        from ptranking_tpu.utils.chunking import iter_shape_chunks
 
-        def flush(allow_scan: bool):
-            nonlocal stop
-            if not pending or stop:
-                pending.clear()
-                return
-            if allow_scan and len(pending) > 1:
-                f = jnp.stack([jnp.asarray(b.features) for b in pending])
-                l = jnp.stack([jnp.asarray(b.labels) for b in pending])
-                m = jnp.stack([jnp.asarray(b.mask) for b in pending])
+        g, d = self.generator, self.discriminator
+        for chunk, fused in iter_shape_chunks(train_data, self.scan_steps):
+            if fused:
+                f = jnp.stack([jnp.asarray(b.features) for b in chunk])
+                l = jnp.stack([jnp.asarray(b.labels) for b in chunk])
+                m = jnp.stack([jnp.asarray(b.mask) for b in chunk])
                 self._key, sub = jax.random.split(self._key)
                 (g.params, g.opt_state, d.params, d.opt_state, g_loss) = \
                     self._joint_scan(g.params, g.opt_state, d.params,
                                      d.opt_state, sub, f, l, m)
                 if not bool(jnp.isfinite(g_loss)):
-                    stop = True
+                    return True
             else:
-                for b in pending:
+                for b in chunk:
                     self._key, sub = jax.random.split(self._key)
                     (g.params, g.opt_state, d.params, d.opt_state, _d_loss, g_loss) = \
                         self._joint_step(g.params, g.opt_state, d.params,
@@ -261,18 +256,8 @@ class IRFGAN_Pair(AdversarialMachine):
                                          jnp.asarray(b.labels),
                                          jnp.asarray(b.mask))
                     if not bool(jnp.isfinite(g_loss)):
-                        stop = True
-                        break
-            pending.clear()
-
-        for b in train_data:
-            if pending and pending[0].features.shape != b.features.shape:
-                flush(allow_scan=False)
-            pending.append(b)
-            if len(pending) >= self.scan_steps:
-                flush(allow_scan=self.scan_steps > 1)
-        flush(allow_scan=False)
-        return stop
+                        return True
+        return False
 
 
 class IRFGAN_List(AdversarialMachine):

@@ -72,7 +72,8 @@ class DeviceResidentDataset:
         rng = np.random.RandomState(self.ds.seed + epoch)
         for b in self._dev:
             feats, labels, mask, qids = self._dev[b]
-            Q = feats.shape[0] - 1  # minus the sentinel row
+            sentinel = feats.shape[0] - 1  # the all-masked pad row
+            Q = sentinel
             B = self.batch_size_for(b)
             idx = rng.permutation(Q) if (shuffle or percent) else np.arange(Q)
             if percent is not None:
@@ -90,8 +91,9 @@ class DeviceResidentDataset:
             rem = Q - n_full * B
             if rem and not drop_remainder:
                 sl = idx[n_full * B:]
-                # sentinel index Q fills the padded tail rows
-                sl_pad = np.full((B,), Q, np.int64)
+                # the SENTINEL index fills the padded tail rows (NOT the
+                # post-percent Q, which would gather a real query's row)
+                sl_pad = np.full((B,), sentinel, np.int64)
                 sl_pad[:rem] = sl
                 sl_d = jnp.asarray(sl_pad)
                 qi = np.full((B,), -1, np.int32)
@@ -142,6 +144,19 @@ def maybe_device_resident(ds: BucketedDataset, budget_bytes: int = 1 << 30):
     budget, else the original dataset (streamed per epoch)."""
     if packed_nbytes(ds) <= budget_bytes:
         return DeviceResidentDataset(ds)
+    return ds
+
+
+def div_packed_nbytes(ds) -> int:
+    """HBM bytes needed to host a DivBucketedDataset's packed arrays."""
+    return sum(sum(a.nbytes for a in arrs) for arrs in ds._packed.values())
+
+
+def maybe_div_device_resident(ds, budget_bytes: int = 1 << 30):
+    """Resident when the packed div arrays fit the HBM budget, else streamed
+    (same guard as maybe_device_resident)."""
+    if div_packed_nbytes(ds) <= budget_bytes:
+        return DivDeviceResidentDataset(ds)
     return ds
 
 

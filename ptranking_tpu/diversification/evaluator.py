@@ -176,13 +176,15 @@ class DivLTREvaluator:
             vali = DivBucketedDataset(vali_qs, batch_queries=batch_queries)
             test = DivBucketedDataset(test_qs, batch_queries=batch_queries)
             if eval_dict.get("device_resident", True):
-                # upload once; per-epoch traffic = index chunks only (the
-                # 500-epoch default makes this the dominant wall-clock win)
-                from ptranking_tpu.data.device_cache import DivDeviceResidentDataset
+                # upload once when within the HBM budget; per-epoch traffic =
+                # index chunks only (the 500-epoch default makes this the
+                # dominant wall-clock win)
+                from ptranking_tpu.data.device_cache import maybe_div_device_resident
 
-                train = DivDeviceResidentDataset(train)
-                vali = DivDeviceResidentDataset(vali)
-                test_res = DivDeviceResidentDataset(test)
+                budget = int(eval_dict.get("device_resident_bytes", 1 << 30))
+                train = maybe_div_device_resident(train, budget)
+                vali = maybe_div_device_resident(vali, budget)
+                test_res = maybe_div_device_resident(test, budget)
             else:
                 test_res = test
             ranker = DivRanker(model_id, scorer_cfg, model_paras=paras,
@@ -217,7 +219,7 @@ class DivLTREvaluator:
                     v = ranker.validation(vali, k=vali_k, metric=vali_metric)
                     tape.epoch_validation(epoch_k, v, ranker)
                 if summary:
-                    summary.epoch_summary(epoch_loss, ranker, train, vali, test)
+                    summary.epoch_summary(epoch_loss, ranker, train, vali, test_res)
             if do_vali:
                 opt_path = tape.get_optimal_path()
                 if os.path.exists(opt_path):

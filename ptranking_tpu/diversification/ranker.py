@@ -191,46 +191,30 @@ class DivRanker:
         return total / max(res.num_queries, 1), False
 
     def train_epoch(self, batches: Iterable[DivBatch], epoch_k: int = 1):
+        from ptranking_tpu.utils.chunking import iter_shape_chunks
+
         self.opt_state = set_lr(self.opt_state, epoch_lr(self.opt_cfg, epoch_k))
         losses, n = [], 0
-        pending = []
-
-        def run_one(b):
-            self._key, sub = jax.random.split(self._key)
-            self.params, self.opt_state, loss = self._step(
-                self.params, self.opt_state, sub,
-                jnp.asarray(b.q_repr), jnp.asarray(b.doc_reprs),
-                jnp.asarray(b.rele_mat), jnp.asarray(b.doc_mask))
-            losses.append(loss)  # device-side; one sync at epoch end
-
-        def flush(allow_scan: bool):
-            if not pending:
-                return
-            if allow_scan and len(pending) > 1:
-                q = jnp.stack([jnp.asarray(b.q_repr) for b in pending])
-                d = jnp.stack([jnp.asarray(b.doc_reprs) for b in pending])
-                rm = jnp.stack([jnp.asarray(b.rele_mat) for b in pending])
-                dm = jnp.stack([jnp.asarray(b.doc_mask) for b in pending])
+        for chunk, fused in iter_shape_chunks(batches, self.scan_steps,
+                                              shape_of=lambda b: b.doc_reprs.shape):
+            n += int(sum(np.asarray(b.doc_mask).any(axis=-1).sum() for b in chunk))
+            if fused:
+                q = jnp.stack([jnp.asarray(b.q_repr) for b in chunk])
+                d = jnp.stack([jnp.asarray(b.doc_reprs) for b in chunk])
+                rm = jnp.stack([jnp.asarray(b.rele_mat) for b in chunk])
+                dm = jnp.stack([jnp.asarray(b.doc_mask) for b in chunk])
                 self._key, sub = jax.random.split(self._key)
                 self.params, self.opt_state, loss = self._scan_step(
                     self.params, self.opt_state, sub, q, d, rm, dm)
                 losses.append(loss)
             else:
-                for b in pending:
-                    run_one(b)
-            pending.clear()
-
-        for b in batches:
-            n += int(b.doc_mask.any(axis=-1).sum())
-            if self.scan_steps <= 1:
-                run_one(b)
-                continue
-            if pending and pending[0].doc_reprs.shape != b.doc_reprs.shape:
-                flush(allow_scan=False)  # bucket boundary: avoid remainder-K compiles
-            pending.append(b)
-            if len(pending) == self.scan_steps:
-                flush(allow_scan=True)
-        flush(allow_scan=False)  # epoch tail
+                for b in chunk:
+                    self._key, sub = jax.random.split(self._key)
+                    self.params, self.opt_state, loss = self._step(
+                        self.params, self.opt_state, sub,
+                        jnp.asarray(b.q_repr), jnp.asarray(b.doc_reprs),
+                        jnp.asarray(b.rele_mat), jnp.asarray(b.doc_mask))
+                    losses.append(loss)  # device-side; one sync at epoch end
         total = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
         if not np.isfinite(total):  # NaN stop guard (stop_training parity)
             return float("nan"), True

@@ -263,38 +263,28 @@ class DistributedTrainer:
     def train_epoch(self, batches, epoch_k: int = 1):
         from ptranking_tpu.train.optimizer import epoch_lr, set_lr
 
+        from ptranking_tpu.utils.chunking import iter_shape_chunks
+
         self.opt_state = set_lr(self.opt_state, epoch_lr(self.opt_cfg, epoch_k))
         losses, num_queries = [], 0
-        pending = []
-
-        def flush(allow_scan: bool = True):
-            if not pending:
-                return
-            if allow_scan and len(pending) > 1:
-                f = np.stack([np.asarray(b.features) for b in pending])
-                l = np.stack([np.asarray(b.labels) for b in pending])
-                m = np.stack([np.asarray(b.mask) for b in pending])
+        for chunk, fused in iter_shape_chunks(batches, self.scan_steps):
+            for b in chunk:
+                num_queries += int(np.sum(np.asarray(b.mask).any(axis=-1)))
+            if fused:
+                f = np.stack([np.asarray(b.features) for b in chunk])
+                l = np.stack([np.asarray(b.labels) for b in chunk])
+                m = np.stack([np.asarray(b.mask) for b in chunk])
                 self._key, sub = jax.random.split(self._key)
                 self.params, self.opt_state, loss = self._scan_step(
                     self.params, self.opt_state, sub, f, l, m)
                 losses.append(loss)
             else:
-                for b in pending:
+                for b in chunk:
                     self._key, sub = jax.random.split(self._key)
                     f, l, m = self._put(b)
                     self.params, self.opt_state, loss = self._step(
                         self.params, self.opt_state, sub, f, l, m)
                     losses.append(loss)  # device-side; one sync at epoch end
-            pending.clear()
-
-        for batch in batches:
-            num_queries += int(np.sum(np.asarray(batch.mask).any(axis=-1)))
-            if pending and np.asarray(pending[0].features).shape != np.asarray(batch.features).shape:
-                flush(allow_scan=False)  # bucket boundary: no remainder-K compiles
-            pending.append(batch)
-            if len(pending) >= self.scan_steps:
-                flush(allow_scan=self.scan_steps > 1)
-        flush(allow_scan=False)  # epoch tail
         total = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
         # NaN guard, reference stop_training parity (base/ranker.py:547-561).
         # `total` is already fetched to host every epoch, so the check is free

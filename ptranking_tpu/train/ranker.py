@@ -232,52 +232,40 @@ class AdhocRanker:
         per-epoch StepLR lr, per-batch optimizer step, NaN/zero guard every
         stop_check_freq epochs.
         """
+        from ptranking_tpu.utils.chunking import iter_shape_chunks
+
         self.opt_state = set_lr(self.opt_state, epoch_lr(self.opt_cfg, epoch_k))
         check = (epoch_k % self.stop_check_freq) == 0
         losses, num_queries = [], 0
-        pending = []  # same-shape batches awaiting one fused scan dispatch
-
-        def flush(allow_scan: bool = True):
-            """Run the pending batches: one fused scan dispatch when a full
-            chunk is allowed, else per-step (bucket boundaries and epoch
-            tails stay per-step so no remainder-K program is ever compiled).
-            Losses stay on device; a float() here would sync every step and
-            stall XLA's async dispatch pipeline."""
-            if not pending:
-                return
-            if allow_scan and len(pending) > 1:
+        # in stop-check epochs run per-step so the guard sees every batch
+        chunk = 1 if check else self.scan_steps
+        for batch_chunk, fused in iter_shape_chunks(batches, chunk):
+            if check:
+                b0 = batch_chunk[0]
+                scores = self._compiled_predict(self.params, b0.features, b0.mask)
+                masked = jnp.where(b0.mask, scores, 0.0)
+                if not bool(jnp.all(jnp.isfinite(masked))) or not bool(jnp.any(masked != 0.0)):
+                    return float("nan"), True
+            for b in batch_chunk:
+                num_queries += int(np.sum(np.asarray(b.mask).any(axis=-1)))
+            # losses stay on device; a float() here would sync every step and
+            # stall XLA's async dispatch pipeline
+            if fused:
                 # device-side stack: prefetched batches already live on-chip,
                 # a host np.stack would round-trip them
-                f = jnp.stack([jnp.asarray(b.features) for b in pending])
-                l = jnp.stack([jnp.asarray(b.labels) for b in pending])
-                m = jnp.stack([jnp.asarray(b.mask) for b in pending])
+                f = jnp.stack([jnp.asarray(b.features) for b in batch_chunk])
+                l = jnp.stack([jnp.asarray(b.labels) for b in batch_chunk])
+                m = jnp.stack([jnp.asarray(b.mask) for b in batch_chunk])
                 self._key, sub = jax.random.split(self._key)
                 self.params, self.opt_state, loss = self._compiled_scan_step(
                     self.params, self.opt_state, sub, f, l, m)
                 losses.append(loss)
             else:
-                for b in pending:
+                for b in batch_chunk:
                     self._key, sub = jax.random.split(self._key)
                     self.params, self.opt_state, loss = self._compiled_step(
                         self.params, self.opt_state, sub, b.features, b.labels, b.mask)
                     losses.append(loss)
-            pending.clear()
-
-        for batch in batches:
-            if check:
-                flush(allow_scan=False)
-                scores = self._compiled_predict(self.params, batch.features, batch.mask)
-                finite = jnp.all(jnp.isfinite(jnp.where(batch.mask, scores, 0.0)))
-                nonzero = jnp.any(jnp.where(batch.mask, scores, 0.0) != 0.0)
-                if not bool(finite) or not bool(nonzero):
-                    return float("nan"), True
-            num_queries += int(np.sum(np.asarray(batch.mask).any(axis=-1)))
-            if pending and pending[0].features.shape != batch.features.shape:
-                flush(allow_scan=False)  # bucket boundary
-            pending.append(batch)
-            if len(pending) >= max(self.scan_steps, 1):
-                flush(allow_scan=self.scan_steps > 1)
-        flush(allow_scan=False)  # epoch tail
         total_loss = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
         return total_loss / max(num_queries, 1), False
 
@@ -340,32 +328,19 @@ class AdhocRanker:
             if isinstance(batches, DeviceResidentDataset):
                 return self._evaluate_resident(batches, ks)
             batches = batches.batches()
-        device_sums = []  # device-side; one host sync at the end
-        pending: list = []
+        from ptranking_tpu.utils.chunking import iter_shape_chunks
 
-        def flush(allow_scan: bool = True):
-            # full chunks use the fused program; boundaries/tails run
-            # per-batch so no remainder-K program is ever compiled
-            if not pending:
-                return
-            if allow_scan and len(pending) > 1:
-                f = jnp.stack([jnp.asarray(b.features) for b in pending])
-                l = jnp.stack([jnp.asarray(b.labels) for b in pending])
-                m = jnp.stack([jnp.asarray(b.mask) for b in pending])
+        device_sums = []  # device-side; one host sync at the end
+        for batch_chunk, fused in iter_shape_chunks(batches, self.scan_steps):
+            if fused:
+                f = jnp.stack([jnp.asarray(b.features) for b in batch_chunk])
+                l = jnp.stack([jnp.asarray(b.labels) for b in batch_chunk])
+                m = jnp.stack([jnp.asarray(b.mask) for b in batch_chunk])
                 device_sums.append(self._compiled_eval_scan(self.params, f, l, m, ks))
             else:
-                for b in pending:
+                for b in batch_chunk:
                     device_sums.append(self._compiled_eval(
                         self.params, b.features, b.labels, b.mask, ks))
-            pending.clear()
-
-        for batch in batches:
-            if pending and pending[0].features.shape != batch.features.shape:
-                flush(allow_scan=False)
-            pending.append(batch)
-            if len(pending) >= max(self.scan_steps, 1):
-                flush(allow_scan=self.scan_steps > 1)
-        flush(allow_scan=False)
         if not device_sums:
             return {m: np.zeros(len(ks)) for m in ("nDCG", "nERR", "AP", "P")}
         acc: Dict[str, np.ndarray] = {}

@@ -131,3 +131,37 @@ def test_div_resident_training_and_eval():
     m_str = r.evaluate(ds.batches(), ks=(1, 5))
     for k in m_str:
         np.testing.assert_allclose(m_res[k], m_str[k], atol=1e-5)
+
+
+def test_iter_shape_chunks_policy():
+    from collections import namedtuple
+
+    from ptranking_tpu.utils.chunking import iter_shape_chunks
+
+    B = namedtuple("B", "features")
+    mk = lambda shape: B(np.zeros(shape))
+    seq = [mk((2, 4))] * 5 + [mk((2, 8))] * 2 + [mk((2, 4))]
+    chunks = list(iter_shape_chunks(seq, 2))
+    # 5x(2,4): two fused pairs + a tail-of-bucket... boundary flush, then
+    # 2x(2,8) fused, then 1x(2,4) tail
+    sizes = [(len(c), fused) for c, fused in chunks]
+    assert sizes == [(2, True), (2, True), (1, False), (2, True), (1, False)]
+    # chunk_size=1 never fuses
+    assert all(not fused for _, fused in iter_shape_chunks(seq, 1))
+    # all chunks preserve order and cover every batch exactly once
+    flat = [b for c, _ in chunks for b in c]
+    assert [b.features.shape for b in flat] == [b.features.shape for b in seq]
+
+
+def test_percent_remainder_uses_sentinel():
+    """percent sampling must pad remainders with the all-masked sentinel,
+    never a real query's row (review finding r2)."""
+    ds = _ds(n=10, seed=1)
+    res = DeviceResidentDataset(ds)
+    for b_str, b_res in zip(ds.batches(percent=0.5, epoch=4),
+                            res.batches(percent=0.5, epoch=4)):
+        np.testing.assert_array_equal(np.asarray(b_res.mask), b_str.mask)
+        np.testing.assert_array_equal(np.asarray(b_res.qids), b_str.qids)
+        real_str = int(np.asarray(b_str.mask).any(axis=-1).sum())
+        real_res = int(np.asarray(b_res.mask).any(axis=-1).sum())
+        assert real_str == real_res
