@@ -175,3 +175,19 @@ def test_mid_training_resume(tmp_path):
     run(tmp_path / "resumed", 2, resume=False)
     resumed = run(tmp_path / "resumed", 4, resume=True)
     np.testing.assert_allclose(resumed["nDCG"], full["nDCG"], atol=1e-5)
+
+
+def test_builtin_grid_run(tmp_path):
+    """-grid without json searches the built-in reference grids end-to-end
+    (debug shrinks the SF grid to 4 combos; RankMSE has no model axes)."""
+    ev = LTREvaluator()
+    perf = ev.run(debug=True, model_id="RankMSE", sf_id="pointsf",
+                  data_id="SyntheticMQ", dir_output=str(tmp_path),
+                  grid_search=True)
+    assert perf is not None and np.isfinite(perf["nDCG"]).all()
+    # best-setting record + per-combo run dirs under grid_<model>
+    files = [f for _, _, fs in os.walk(tmp_path) for f in fs]
+    assert any(f.endswith("max.txt") for f in files), files
+    grid_dirs = [d for _, ds_, _ in os.walk(tmp_path) for d in ds_
+                 if d.startswith("grid_RankMSE")]
+    assert grid_dirs
