@@ -23,11 +23,16 @@ from ptranking_tpu.data.dataset import BucketedDataset
 from ptranking_tpu.types import RankingBatch
 
 
-def packed_nbytes(ds: BucketedDataset) -> int:
-    """HBM bytes needed to host the dataset's packed arrays."""
+def packed_nbytes(ds: BucketedDataset, dtype=None) -> int:
+    """HBM bytes needed to host the dataset's packed arrays (features at
+    `dtype` when given — e.g. bfloat16 halves the dominant term)."""
     total = 0
     for feats, labels, mask, _ in ds._packed.values():
-        total += feats.nbytes + labels.nbytes + mask.nbytes
+        f_bytes = feats.nbytes
+        if dtype is not None:
+            f_bytes = feats.size * np.dtype(
+                np.float16 if str(dtype) in ("bfloat16", "float16") else dtype).itemsize
+        total += f_bytes + labels.nbytes + mask.nbytes
     return total
 
 
@@ -52,9 +57,12 @@ class DeviceResidentDataset:
             f = np.concatenate([feats, np.zeros_like(feats[:1])], axis=0)
             l = np.concatenate([labels, np.zeros_like(labels[:1])], axis=0)
             m = np.concatenate([mask, np.zeros_like(mask[:1])], axis=0)
+            fd = jnp.asarray(f)
             if dtype is not None:
-                f = f.astype(dtype)
-            self._dev[b] = (jnp.asarray(f), jnp.asarray(l), jnp.asarray(m), qids)
+                # features only: a bf16 scorer casts them on entry anyway, so
+                # bf16-resident storage is compute-identical and halves HBM
+                fd = fd.astype(jnp.bfloat16 if str(dtype) == "bfloat16" else dtype)
+            self._dev[b] = (fd, jnp.asarray(l), jnp.asarray(m), qids)
 
     def batch_size_for(self, bucket: int) -> int:
         return self.ds.batch_size_for(bucket)
@@ -139,11 +147,13 @@ class DeviceResidentDataset:
         return len(self.ds)
 
 
-def maybe_device_resident(ds: BucketedDataset, budget_bytes: int = 1 << 30):
+def maybe_device_resident(ds: BucketedDataset, budget_bytes: int = 1 << 30,
+                          dtype=None):
     """Return a DeviceResidentDataset when the packed arrays fit the HBM
-    budget, else the original dataset (streamed per epoch)."""
-    if packed_nbytes(ds) <= budget_bytes:
-        return DeviceResidentDataset(ds)
+    budget (features stored at `dtype` when given), else the original
+    dataset (streamed per epoch)."""
+    if packed_nbytes(ds, dtype) <= budget_bytes:
+        return DeviceResidentDataset(ds, dtype=dtype)
     return ds
 
 

@@ -102,13 +102,17 @@ class LTREvaluator:
         if eval_dict.get("device_resident", True):
             # upload the packed arrays to HBM once (when they fit the budget)
             # instead of streaming every batch host->device every epoch — the
-            # dominant cost on a remote-attached chip (BASELINE.md)
+            # dominant cost on a remote-attached chip (BASELINE.md). A bf16
+            # scorer casts features on entry, so bf16-resident storage is
+            # compute-identical and doubles the effective budget
             from ptranking_tpu.data.device_cache import maybe_device_resident
 
             budget = int(eval_dict.get("device_resident_bytes", 1 << 30))
-            train = maybe_device_resident(train, budget)
-            test = maybe_device_resident(test, budget)
-            vali = maybe_device_resident(vali, budget) if vali is not None else None
+            dtype = eval_dict.get("device_resident_dtype")
+            train = maybe_device_resident(train, budget, dtype)
+            test = maybe_device_resident(test, budget, dtype)
+            vali = (maybe_device_resident(vali, budget, dtype)
+                    if vali is not None else None)
         return train, test, vali
 
     # -------------------------------------------------------------- rankers
@@ -173,6 +177,10 @@ class LTREvaluator:
             ranker = self.load_ranker(sf_para, model_para_dict, data_dict["label_type"])
             ranker.seed = 137 + fold_k
             ranker.init()
+            if (eval_dict.get("device_resident_dtype") is None
+                    and getattr(sf_para["scorer"], "compute_dtype", None) == "bfloat16"):
+                # bf16 scorers cast features on entry: store them bf16 too
+                eval_dict = dict(eval_dict, device_resident_dtype="bfloat16")
             train, test, vali = self.load_data(eval_dict, data_dict, fold_k)
             vali_tape = (ValidationTape(fold_k, epochs, eval_dict["vali_metric"],
                                         eval_dict["vali_k"], dir_run) if do_vali else None)

@@ -239,6 +239,16 @@ class DistributedTrainer:
         self._eval = jax.jit(eval_batch, static_argnums=(4,),
                              in_shardings=(self.param_shardings, bsh, mask_sh, mask_sh))
 
+        def eval_batches(params, features_k, labels_k, mask_k, ks):
+            # vmap keeps per-batch semantics (BN batch statistics)
+            outs = jax.vmap(lambda f, l, m: eval_batch(params, f, l, m, ks))(
+                features_k, labels_k, mask_k)
+            return {k: jnp.sum(v, axis=0) for k, v in outs.items()}
+
+        self._eval_scan = jax.jit(
+            eval_batches, static_argnums=(4,),
+            in_shardings=(self.param_shardings, stacked_sh, stacked_sh, stacked_sh))
+
     def _opt_shardings_cached(self):
         if not hasattr(self, "_opt_sh"):
             self._opt_sh = jax.tree_util.tree_map(lambda x: x.sharding, self.opt_state)
@@ -294,11 +304,22 @@ class DistributedTrainer:
         return total / max(num_queries, 1), False
 
     def evaluate(self, batches, ks=(1, 3, 5, 10)):
+        from ptranking_tpu.utils.chunking import iter_shape_chunks
+
         ks = tuple(ks)
+        device_sums = []
+        for chunk, fused in iter_shape_chunks(batches, self.scan_steps):
+            if fused:
+                f = np.stack([np.asarray(b.features) for b in chunk])
+                l = np.stack([np.asarray(b.labels) for b in chunk])
+                m = np.stack([np.asarray(b.mask) for b in chunk])
+                device_sums.append(self._eval_scan(self.params, f, l, m, ks))
+            else:
+                for b in chunk:
+                    f, l, m = self._put(b)
+                    device_sums.append(self._eval(self.params, f, l, m, ks))
         acc, count = {}, 0.0
-        for batch in batches:
-            f, l, m = self._put(batch)
-            sums = self._eval(self.params, f, l, m, ks)
+        for sums in device_sums:
             count += float(sums["count"])
             for k in ("nDCG", "nERR", "AP", "P"):
                 acc[k] = acc.get(k, 0.0) + np.asarray(sums[k])

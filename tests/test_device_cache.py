@@ -165,3 +165,18 @@ def test_percent_remainder_uses_sentinel():
         real_str = int(np.asarray(b_str.mask).any(axis=-1).sum())
         real_res = int(np.asarray(b_res.mask).any(axis=-1).sum())
         assert real_str == real_res
+
+
+def test_bf16_resident_features():
+    import jax.numpy as jnp
+
+    ds = _ds()
+    res = DeviceResidentDataset(ds, dtype="bfloat16")
+    b = next(iter(res.batches()))
+    assert b.features.dtype == jnp.bfloat16
+    assert b.labels.dtype == jnp.float32  # labels stay exact
+    # the budget math halves the feature term
+    assert packed_nbytes(ds, "bfloat16") < packed_nbytes(ds)
+    slim = maybe_device_resident(ds, budget_bytes=packed_nbytes(ds) - 1,
+                                 dtype="bfloat16")
+    assert isinstance(slim, DeviceResidentDataset)
