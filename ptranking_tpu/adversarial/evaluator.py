@@ -112,7 +112,7 @@ class AdLTREvaluator(LTREvaluator):
                 if (do_vali or do_summary) and (epoch_k % log_step == 0 or epoch_k == 1):
                     for name, player, tape in (("G", machine.get_generator(), g_tape),
                                                ("D", machine.get_discriminator(), d_tape)):
-                        v = player.validation(vali_ds.batches(), k=vali_k) if do_vali else None
+                        v = player.validation(vali_ds, k=vali_k) if do_vali else None
                         if do_vali:
                             tape.epoch_validation(epoch_k, v, player)
                         if do_summary:
@@ -126,7 +126,7 @@ class AdLTREvaluator(LTREvaluator):
                 tape.clear_fold_buffer()
                 if do_summary:
                     tapes[name].fold_summary(train_data_length=train_ds.num_queries)
-                m = player.evaluate(test_ds.batches(), ks=cutoffs)
+                m = player.evaluate(test_ds, ks=cutoffs)
                 results[name].append(m["nDCG"])
                 print(f" Fold-{fold_k} {model_id} {name} test nDCG: "
                       + ", ".join(f"@{k}:{v:.4f}" for k, v in zip(cutoffs, m["nDCG"])))
