@@ -57,11 +57,23 @@ class DeviceResidentDataset:
             f = np.concatenate([feats, np.zeros_like(feats[:1])], axis=0)
             l = np.concatenate([labels, np.zeros_like(labels[:1])], axis=0)
             m = np.concatenate([mask, np.zeros_like(mask[:1])], axis=0)
-            fd = jnp.asarray(f)
             if dtype is not None:
-                # features only: a bf16 scorer casts them on entry anyway, so
-                # bf16-resident storage is compute-identical and halves HBM
-                fd = fd.astype(jnp.bfloat16 if str(dtype) == "bfloat16" else dtype)
+                # features only (bf16 stays confined to the scorer compute;
+                # apply_scorer promotes scores back to fp32). Cast on the
+                # HOST so the upload ships half the bytes and HBM never holds
+                # a transient fp32 copy
+                try:
+                    import ml_dtypes
+
+                    np_dtype = (ml_dtypes.bfloat16 if str(dtype) == "bfloat16"
+                                else np.dtype(dtype))
+                    f = f.astype(np_dtype)
+                    fd = jnp.asarray(f)
+                except ImportError:  # pragma: no cover - ml_dtypes ships with jax
+                    fd = jnp.asarray(f).astype(
+                        jnp.bfloat16 if str(dtype) == "bfloat16" else dtype)
+            else:
+                fd = jnp.asarray(f)
             self._dev[b] = (fd, jnp.asarray(l), jnp.asarray(m), qids)
 
     def batch_size_for(self, bucket: int) -> int:

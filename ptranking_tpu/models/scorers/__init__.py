@@ -123,7 +123,10 @@ def apply_scorer(
 
     cp (parallel.ring.CPPlan) routes the listsf MHSA through doc-axis context
     parallelism (ring / Ulysses) — set by DistributedTrainer(shard_docs=True)."""
-    out_dtype = x.dtype
+    # scores are always at least fp32: the mixed-precision contract keeps the
+    # LOSS math in fp32 even when inputs arrive bf16 (e.g. bf16-resident
+    # feature storage) — bf16 stays confined to the scorer compute
+    out_dtype = jnp.promote_types(x.dtype, jnp.float32)
     if cfg.compute_dtype == "bfloat16":
         cast = lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a
         params = jax.tree_util.tree_map(cast, params)

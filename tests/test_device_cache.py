@@ -180,3 +180,23 @@ def test_bf16_resident_features():
     slim = maybe_device_resident(ds, budget_bytes=packed_nbytes(ds) - 1,
                                  dtype="bfloat16")
     assert isinstance(slim, DeviceResidentDataset)
+
+
+def test_bf16_features_keep_fp32_loss_math():
+    """Scores (and thus loss/grad math) stay fp32 even for bf16-stored
+    features — bf16 is confined to the scorer compute (review finding r3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ptranking_tpu.models import ScorerConfig, apply_scorer, init_scorer
+
+    cfg = ScorerConfig.default_listsf(12, ff_dims=(16,), encoder_layers=1,
+                                      dropout=0.0, compute_dtype="bfloat16")
+    params = init_scorer(jax.random.PRNGKey(0), cfg)
+    x32 = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 12), jnp.float32)
+    mask = jnp.ones((2, 8), bool)
+    s32 = apply_scorer(params, cfg, x32, mask)
+    s16 = apply_scorer(params, cfg, x32.astype(jnp.bfloat16), mask)
+    assert s32.dtype == jnp.float32 and s16.dtype == jnp.float32
+    # identical compute: the fp32 path casts to bf16 at entry anyway
+    np.testing.assert_allclose(np.asarray(s32), np.asarray(s16), atol=1e-6)
