@@ -14,8 +14,8 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from ptranking_tpu.models import ScorerConfig, apply_scorer, init_scorer
-from ptranking_tpu.train.optimizer import OptimizerConfig, make_optimizer
+from ptranking_tpu.models import ScorerConfig, apply_scorer
+from ptranking_tpu.train.optimizer import OptimizerConfig
 from ptranking_tpu.train.ranker import AdhocRanker
 
 

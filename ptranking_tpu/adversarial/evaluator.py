@@ -23,7 +23,6 @@ import numpy as np
 from ptranking_tpu.adversarial.irgan import IRGAN_List, IRGAN_Pair, IRGAN_Point
 from ptranking_tpu.adversarial.irfgan import IRFGAN_List, IRFGAN_Pair, IRFGAN_Point
 from ptranking_tpu.adversarial.settings import (
-    AD_DEFAULT_PARAS,
     AdDataSetting,
     AdEvalSetting,
     AdModelSetting,

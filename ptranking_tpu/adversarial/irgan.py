@@ -20,15 +20,13 @@ over a padded bucket:
 
 from __future__ import annotations
 
-import copy
 import dataclasses
 import functools
-from typing import Any, Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
-from ptranking_tpu import PAD_SCORE
 from ptranking_tpu.adversarial.base import AdversarialMachine, AdversarialPlayer
 from ptranking_tpu.adversarial.util import (
     gather_subrankings,

@@ -23,7 +23,6 @@ from ptranking_tpu.diversification.data import (
     DIV_SYNTHETIC,
     DivBucketedDataset,
     DivQuery,
-    get_div_data_meta,
     load_trec_div_fold,
     make_synthetic_div_queries,
 )
@@ -38,7 +37,6 @@ from ptranking_tpu.diversification.settings import (
     DivSummaryTape,
 )
 from ptranking_tpu.eval.tapes import ValidationTape, get_opt_model
-from ptranking_tpu.train.optimizer import OptimizerConfig
 
 
 def build_topic_map(queries: Sequence[DivQuery]) -> Dict[str, str]:

@@ -19,7 +19,7 @@ import numpy as np
 
 from ptranking_tpu import PAD_SCORE
 from ptranking_tpu.diversification.data import DivBatch
-from ptranking_tpu.diversification.losses import DIV_LOSSES, daletor_loss
+from ptranking_tpu.diversification.losses import DIV_LOSSES
 from ptranking_tpu.diversification.scorers import (
     DivScorerConfig,
     div_forward,

@@ -10,7 +10,6 @@ transport cost to real slots.
 
 from typing import Optional
 
-import jax
 import jax.numpy as jnp
 
 from ptranking_tpu.ops.sinkhorn import entropic_ot, sinkhorn_distance

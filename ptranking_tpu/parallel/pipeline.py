@@ -13,13 +13,12 @@ a tuned schedule — bubble ticks compute garbage that is simply not collected.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
 from ptranking_tpu.parallel._compat import SM_NOCHECK as _SM_NOCHECK, shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def gpipe(
