@@ -162,3 +162,29 @@ def test_scan_steps_trains_equivalently():
     assert np.isfinite(v1) and np.isfinite(v4)
     # same data, same seed, different PRNG chunking: both must learn the task
     assert v1 > 0.5 and v4 > 0.5, (v1, v4)
+
+
+def test_full_zoo_trains_through_scan_and_resident_paths():
+    """Every registered loss (incl. the stochastic ones and WassRank's
+    custom-vjp Sinkhorn) must train through BOTH the fused scan step and the
+    gather-fused resident step — scan bodies trace the same pure step, but
+    custom_vjp/PRNG handling under lax.scan deserves its own coverage."""
+    from ptranking_tpu.data import BucketedDataset, make_synthetic_queries
+    from ptranking_tpu.data.device_cache import DeviceResidentDataset
+    from ptranking_tpu.losses import LOSSES
+    from ptranking_tpu.models import ScorerConfig
+    from ptranking_tpu.train import AdhocRanker, OptimizerConfig
+
+    qs = make_synthetic_queries(num_queries=16, num_features=10, seed=11,
+                                min_docs=8, max_docs=8)
+    ds = BucketedDataset(qs, batch_docs=32, buckets=(8,))  # 4 same-shape batches
+    res = DeviceResidentDataset(ds)
+    for model_id in sorted(LOSSES):
+        cfg = ScorerConfig(sf_id="pointsf", num_features=10, num_layers=2,
+                           h_dim=8, dropout=0.0, apply_tl_af=False)
+        r = AdhocRanker(model_id, cfg, opt_cfg=OptimizerConfig(opt="Adam", lr=1e-3),
+                        scan_steps=2).init()
+        loss_s, stop_s = r.train_epoch(ds.batches(shuffle=True, epoch=1), 1)
+        loss_r, stop_r = r.train_epoch_resident(res, 2)
+        assert not stop_s and not stop_r, model_id
+        assert np.isfinite(loss_s) and np.isfinite(loss_r), model_id
