@@ -282,3 +282,22 @@ def test_div_evaluate_per_query_shapes():
     # means agree with the batched evaluate()
     m = r.evaluate(ds.batches(), ks=(1, 5, 10))
     np.testing.assert_allclose(mat.mean(axis=0), m["aNDCG"], atol=1e-5)
+
+
+def test_div_reproduce_mode(tmp_path):
+    """Reproduce mode reloads fold-optimal checkpoints, re-evaluates, writes
+    run/qrels + the per-query aNDCG pickle, and (when the oracle builds)
+    carries the ndeval columns (reference div_parameter.py:510-571)."""
+    import glob
+
+    ev = DivLTREvaluator()
+    ev.point_run(model_id="DALETOR", data_id="SyntheticDiv",
+                 dir_output=str(tmp_path), debug=True, epochs=2)
+    cv = ev.point_run(model_id="DALETOR", data_id="SyntheticDiv",
+                      dir_output=str(tmp_path), debug=True, epochs=2,
+                      reproduce=True)
+    assert "aNDCG" in cv and np.all(np.isfinite(cv["aNDCG"]))
+    runs = glob.glob(str(tmp_path) + "/**/fold_*_run.txt", recursive=True)
+    assert runs, "reproduce mode must emit TREC run files"
+    per_q = glob.glob(str(tmp_path) + "/**/*andcg_at_ks_per_q.np", recursive=True)
+    assert per_q, "reproduce mode must pickle the per-query aNDCG matrix"
