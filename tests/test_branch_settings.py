@@ -258,3 +258,26 @@ def test_adhoc_summary_tape_files(tmp_path):
     with open(loss_f, "rb") as f:
         losses, train_len = pickle.load(f)
     assert losses.shape == (2,) and train_len > 0
+
+
+def test_cli_dispatch_tree_json(tmp_path):
+    """ltr.py main() routes -dir_json to the tree evaluator's json-grid run."""
+    from ptranking_tpu.ltr import main
+
+    dir_json = tmp_path / "json"
+    dir_json.mkdir()
+    _write_tree_json(dir_json)
+    cv = main(["-model", "LightGBMLambdaMART", "-debug",
+               "-dir_json", str(dir_json)])
+    assert cv["nDCG"].shape == (6,)
+
+
+def test_cli_dispatch_div_json(tmp_path):
+    """ltr.py main() routes -dir_json to the div evaluator's json-grid run."""
+    from ptranking_tpu.ltr import main
+
+    dir_json = tmp_path / "json"
+    dir_json.mkdir()
+    _write_div_json(dir_json)
+    cv = main(["-model", "DALETOR", "-debug", "-dir_json", str(dir_json)])
+    assert cv["aNDCG"].shape == (5,)
