@@ -68,7 +68,16 @@ class AdLTREvaluator(LTREvaluator):
 
     def ad_cv_eval(self, data_dict, eval_dict, sf_para, ad_para_dict) -> Dict[str, Any]:
         """The core minimax CV loop (reference ad_cv_eval,
-        ltr_adversarial.py:80-246) over settings dicts."""
+        ltr_adversarial.py:80-246) over settings dicts; run output is teed to
+        a timestamped log in the run dir (reference stdout redirect parity)."""
+        from ptranking_tpu.utils.runlog import run_log
+
+        with run_log(self.setup_output(data_dict, eval_dict),
+                     enabled=eval_dict.get("do_log", True),
+                     debug=eval_dict.get("debug", False)):
+            return self._ad_cv_eval(data_dict, eval_dict, sf_para, ad_para_dict)
+
+    def _ad_cv_eval(self, data_dict, eval_dict, sf_para, ad_para_dict) -> Dict[str, Any]:
         model_id = ad_para_dict["model_id"]
         assert model_id in LTR_ADVERSARIAL_MODELS
         fold_num = data_dict["fold_num"]

@@ -80,7 +80,11 @@ class BucketedDataset:
             qids = np.arange(Q, dtype=np.int32)
             for i, (_, f, l) in enumerate(items):
                 n = len(l)
-                feats[i, :n] = f
+                # sparse LibSVM parses auto-grow width to the max SEEN feature
+                # id, which can fall short of the declared num_features —
+                # absent trailing columns stay 0 (the LibSVM missing value)
+                w = min(f.shape[1], self.num_features)
+                feats[i, :n, :w] = f[:, :w]
                 labels[i, :n] = l
                 mask[i, :n] = True
             self._packed[b] = (feats, labels, mask, qids)

@@ -167,11 +167,12 @@ def load_letor_file(
     if has_comment is None:
         try:
             has_comment = get_data_meta(data_id).has_comment
-        except NotImplementedError:
+        except (NotImplementedError, ValueError):
+            # unknown / generic GLTR id without declared meta
             has_comment = False
     one_indexed = data_id not in YAHOO_LTR
 
-    cache = _cache_path(path, data_id, kwargs)
+    cache = _cache_path(path, data_id, {**kwargs, "has_comment": has_comment})
     if cache and os.path.exists(cache):
         return _load_packed(cache)
 

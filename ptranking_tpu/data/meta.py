@@ -42,8 +42,33 @@ class DataMeta:
     fold_num: int
 
 
-def get_data_meta(data_id: str) -> DataMeta:
-    """Per-dataset metadata (reference get_data_meta, data_utils.py:116-174)."""
+def get_data_meta(data_id: str, json_dict: Optional[dict] = None) -> DataMeta:
+    """Per-dataset metadata (reference get_data_meta, data_utils.py:116-174).
+
+    Generic GLTR datasets (LTR_LibSVM / LETOR, data_utils.py:46-67) have no
+    built-in meta — a user dataset in plain LibSVM/LETOR format declares its
+    shape in the config's data section instead (`json_dict`): `num_features`
+    is required; `max_rele_level` (default 4), `has_comment` (default False,
+    LETOR files may carry '#docid' comments) and `fold_num` (default 5 for
+    the '_K' k-fold ids, 1 otherwise) are optional.
+    """
+    if data_id in GLTR_LIBSVM or data_id in GLTR_LETOR:
+        j = json_dict or {}
+        if "num_features" not in j:
+            raise ValueError(
+                f"{data_id}: generic LTR datasets must declare num_features "
+                "in the DataSetting section (plus optional max_rele_level, "
+                "has_comment, fold_num)")
+        nf = j["num_features"]
+        num_features = int(nf[0] if isinstance(nf, list) else nf)
+        _one = lambda v, d: (v[0] if isinstance(v, list) else v) if v is not None else d
+        return DataMeta(
+            num_features,
+            bool(_one(j.get("has_comment"), False)),
+            LabelType.MultiLabel,
+            int(_one(j.get("max_rele_level"), 4)),
+            int(_one(j.get("fold_num"), 5 if data_id.endswith("_K") else 1)),
+        )
     if data_id in MSLRWEB:
         return DataMeta(136, False, LabelType.MultiLabel, 4, 5)
     if data_id in MSLETOR_SUPER or data_id in MSLETOR_SEMI or data_id in IRGAN_MQ2008_SEMI:

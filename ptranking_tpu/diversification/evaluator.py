@@ -128,7 +128,18 @@ class DivLTREvaluator:
     def div_cv_eval(self, data_dict, eval_dict, sf_para, model_para_dict,
                     reproduce: bool = False, write_run_files: bool = False):
         """The core CV loop over settings dicts (reference div_cv_eval,
-        ltr_diversification.py:304-378)."""
+        ltr_diversification.py:304-378); run output is teed to a timestamped
+        log in the run dir (reference redirect, ltr_diversification.py:260-262)."""
+        from ptranking_tpu.utils.runlog import run_log
+
+        with run_log(self.setup_output(data_dict, eval_dict),
+                     enabled=eval_dict.get("do_log", True),
+                     debug=eval_dict.get("debug", False)):
+            return self._div_cv_eval(data_dict, eval_dict, sf_para,
+                                     model_para_dict, reproduce, write_run_files)
+
+    def _div_cv_eval(self, data_dict, eval_dict, sf_para, model_para_dict,
+                     reproduce: bool = False, write_run_files: bool = False):
         model_id = model_para_dict["model_id"]
         assert model_id in DIV_MODELS
         fold_num = data_dict["fold_num"]

@@ -50,9 +50,19 @@ class LTREvaluator:
         if data_id in ISTELLA_LTR:
             vali = os.path.join(dir_data, "vali.txt") if data_id in ("Istella_X", "Istella_S") else None
             return os.path.join(dir_data, "train.txt"), vali, os.path.join(dir_data, "test.txt")
+        # everything else — incl. YAHOO_LTR_5Fold and the generic GLTR ids —
+        # uses the Fold{k}/ layout (reference ltr.py:116-120 else-branch; the
+        # 5FoldSet* special-casing in data_utils.py:153 is meta/buffer naming
+        # only, not file layout). Convenience beyond the reference: a
+        # single-fold generic dataset laid out flat (train.txt at dir_data
+        # root, no Fold1/) is accepted too.
         fold_dir = os.path.join(dir_data, f"Fold{fold_k}")
+        if (fold_k == 1 and not os.path.isdir(fold_dir)
+                and os.path.exists(os.path.join(dir_data, "train.txt"))):
+            fold_dir = dir_data
+        vali = os.path.join(fold_dir, "vali.txt")
         return (os.path.join(fold_dir, "train.txt"),
-                os.path.join(fold_dir, "vali.txt"),
+                vali if os.path.exists(vali) or fold_dir != dir_data else None,
                 os.path.join(fold_dir, "test.txt"))
 
     def load_data(self, eval_dict, data_dict, fold_k: int):
@@ -61,6 +71,9 @@ class LTREvaluator:
         data_id = data_dict["data_id"]
         batch_docs = max(int(data_dict.get("tr_batch_size", 100)), 1)
         common = dict(
+            # threaded so generic GLTR ids (meta declared in the config, not
+            # the registry) parse comments correctly
+            has_comment=data_dict.get("has_comment"),
             min_docs=data_dict.get("min_docs"), min_rele=data_dict.get("min_rele", 1),
             binary_rele=data_dict.get("binary_rele", False),
             unknown_as_zero=data_dict.get("unknown_as_zero", False),
@@ -157,7 +170,17 @@ class LTREvaluator:
     # ------------------------------------------------------------- training
 
     def kfold_cv_eval(self, data_dict, eval_dict, sf_para, model_para_dict) -> Dict[str, Any]:
-        """The main train loop (reference kfold_cv_eval, ltr.py:291-369)."""
+        """The main train loop (reference kfold_cv_eval, ltr.py:291-369),
+        with all run output teed to a timestamped log file in the run dir
+        (reference stdout redirect, ltr.py:242-244)."""
+        from ptranking_tpu.utils.runlog import run_log
+
+        with run_log(self.setup_output(data_dict, eval_dict),
+                     enabled=eval_dict.get("do_log", True),
+                     debug=eval_dict.get("debug", False)):
+            return self._kfold_cv_eval(data_dict, eval_dict, sf_para, model_para_dict)
+
+    def _kfold_cv_eval(self, data_dict, eval_dict, sf_para, model_para_dict) -> Dict[str, Any]:
         model_id = model_para_dict["model_id"]
         fold_num = data_dict["fold_num"]
         epochs = eval_dict["epochs"]

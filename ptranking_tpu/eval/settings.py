@@ -50,7 +50,9 @@ class DataSetting:
         self.data_dict: Dict[str, Any] = {}
 
     def _base(self) -> Dict[str, Any]:
-        meta = get_data_meta(self.data_id)
+        # generic GLTR ids (LTR_LibSVM/LETOR) read their meta from the JSON
+        # data section (reference data_utils.py:46-67 format contract)
+        meta = get_data_meta(self.data_id, json_dict=self.json_dict)
         scale_data, scaler_id, scaler_level = get_scaler_setting(
             self.data_id, _first(self.json_dict.get("scaler_id"))
         )

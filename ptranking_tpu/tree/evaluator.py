@@ -74,7 +74,16 @@ class TreeLTREvaluator:
 
     def kfold_cv_eval(self, data_dict, eval_dict, model_para_dict) -> Dict[str, np.ndarray]:
         """The core CV loop over settings dicts (reference kfold_cv_eval,
-        ltr_tree.py:223-313)."""
+        ltr_tree.py:223-313); run output is teed to a timestamped log in the
+        run dir (reference redirect, ltr_tree.py:206)."""
+        from ptranking_tpu.utils.runlog import run_log
+
+        with run_log(self.setup_output(data_dict, eval_dict),
+                     enabled=eval_dict.get("do_log", True),
+                     debug=eval_dict.get("debug", False)):
+            return self._kfold_cv_eval(data_dict, eval_dict, model_para_dict)
+
+    def _kfold_cv_eval(self, data_dict, eval_dict, model_para_dict) -> Dict[str, np.ndarray]:
         model_id = self.model_setting.model_id
         if model_id == "LightGBMLambdaMART" and not HAS_LIGHTGBM:
             # fall back to the native TPU GBDT so the branch always runs
