@@ -117,12 +117,16 @@ def apply_scorer(
     training: bool = False,
     key: Optional[jax.Array] = None,
     cp=None,
+    pp=None,
 ) -> jnp.ndarray:
     """Score a padded batch: [B, N, F] -> [B, N]. Padded docs score garbage by
     design — every consumer applies `mask`.
 
     cp (parallel.ring.CPPlan) routes the listsf MHSA through doc-axis context
-    parallelism (ring / Ulysses) — set by DistributedTrainer(shard_docs=True)."""
+    parallelism (ring / Ulysses) — set by DistributedTrainer(shard_docs=True).
+    pp (parallel.pipeline.PPPlan) stages the listsf encoder as a GPipe
+    pipeline over the mesh's model axis (inference only — set by
+    DistributedTrainer(pp_stages=k) on its predict/eval path)."""
     # scores are always at least fp32: the mixed-precision contract keeps the
     # LOSS math in fp32 even when inputs arrive bf16 (e.g. bf16-resident
     # feature storage) — bf16 stays confined to the scorer compute
@@ -159,6 +163,14 @@ def apply_scorer(
             )
 
         def encode(v):
+            if pp is not None and not training:
+                from ptranking_tpu.parallel.pipeline import pipeline_encoder_apply
+
+                return pipeline_encoder_apply(
+                    params["encoder"], v, mask, cfg.n_heads, cfg.encoder_type,
+                    pp.mesh, num_microbatches=pp.num_microbatches,
+                    axis_name=pp.axis_name,
+                )
             return _listsf.encoder_apply(
                 params["encoder"], v, mask, cfg.n_heads, cfg.encoder_type,
                 drop_rate=cfg.dropout, training=training, key=k_enc,

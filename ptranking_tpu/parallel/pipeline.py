@@ -13,12 +13,24 @@ a tuned schedule — bubble ticks compute garbage that is simply not collected.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
 from ptranking_tpu.parallel._compat import SM_NOCHECK as _SM_NOCHECK, shard_map
 from jax.sharding import Mesh, PartitionSpec as P
+
+
+@dataclasses.dataclass(frozen=True)
+class PPPlan:
+    """Routing plan handed to apply_scorer(pp=...): stage the listsf encoder
+    as a GPipe pipeline over `axis_name` (DistributedTrainer(pp_stages=k)).
+    Inference-only — the training path keeps DP/TP/CP (docs/parallel.md)."""
+
+    mesh: Mesh
+    num_microbatches: int = 4
+    axis_name: str = "model"
 
 
 def gpipe(

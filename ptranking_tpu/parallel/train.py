@@ -38,6 +38,8 @@ class DistributedTrainer:
     # model ids whose [B, N, N] pairwise loss routes through ring_lambda_loss
     CP_PAIR_LOSSES = ("LambdaRank", "RankNet")
 
+    stop_check_freq = 10  # reference stop_training cadence (base/ranker.py:496)
+
     def __init__(
         self,
         model_id: str,
@@ -49,6 +51,10 @@ class DistributedTrainer:
         tp: bool = False,
         shard_docs: bool = False,
         cp_impl: str = "ring",  # 'ring' | 'ulysses' attention exchange
+        pp_stages: int = 0,     # >0: stage the listsf encoder as a GPipe
+        #                         pipeline over the `model` axis at INFERENCE
+        #                         (predict/evaluate); training stays DP/TP/CP
+        #                         (docs/parallel.md records the reasoning)
         scan_steps: int = 8,    # batches per fused device dispatch
         seed: int = 137,
     ):
@@ -63,6 +69,15 @@ class DistributedTrainer:
         self.shard_docs = shard_docs
         assert cp_impl in ("ring", "ulysses")
         self.cp_impl = cp_impl
+        self.pp_stages = int(pp_stages)
+        if self.pp_stages:
+            assert not tp, "pp_stages and tp both claim the `model` axis"
+            assert scorer_cfg.sf_id.startswith("listsf"), \
+                "pp_stages stages the listsf encoder stack"
+            assert self.pp_stages == mesh.shape["model"], \
+                f"pp_stages={pp_stages} must equal the mesh model axis " \
+                f"({mesh.shape['model']}): stages live on `model`"
+            assert scorer_cfg.encoder_layers % self.pp_stages == 0
         self.scan_steps = max(int(scan_steps), 1)
         self.seed = seed
         self.stochastic = model_id in STOCHASTIC
@@ -164,6 +179,20 @@ class DistributedTrainer:
 
         return cp_loss
 
+    def _resident_shardings(self):
+        """Shardings for device-resident bucket arrays [Q+1, N, F] / [Q+1, N]:
+        the query axis is REPLICATED (batch composition is a random gather —
+        replication makes every gather device-local and zero-comm, and the
+        packed datasets are small next to HBM); the doc axis shards over
+        `seq` under CP so gathered batches land already doc-sharded."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if self.shard_docs:
+            return (NamedSharding(self.mesh, P(None, "seq", None)),
+                    NamedSharding(self.mesh, P(None, "seq")))
+        rep = replicated(self.mesh)
+        return rep, rep
+
     def _compile(self):
         scorer_cfg, loss_fn, paras = self.scorer_cfg, self.loss_fn, self.model_paras
         label_type, stochastic = self.label_type, self.stochastic
@@ -172,6 +201,11 @@ class DistributedTrainer:
         bsh = self._batch_sharding
         mask_sh = jax.sharding.NamedSharding(self.mesh, bsh.spec)  # [B, N] same spec
         cp = self._cp_plan()
+        pp = None
+        if self.pp_stages:
+            from ptranking_tpu.parallel.pipeline import PPPlan
+
+            pp = PPPlan(self.mesh)
         cp_loss = (self._cp_pair_loss()
                    if self.shard_docs and self.model_id in self.CP_PAIR_LOSSES
                    else None)
@@ -228,9 +262,50 @@ class DistributedTrainer:
             donate_argnums=(0, 1),
         )
 
+        # gather-fused step over device-resident bucket arrays (mirrors
+        # train/ranker.py gather_scan_step): one dispatch per K-batch chunk,
+        # host->device traffic is just the [K, B] index rows
+        res_f_sh, res_lm_sh = self._resident_shardings()
+        wsc = jax.lax.with_sharding_constraint
+
+        def gather_scan_step(params, opt_state, key, feats_all, labels_all,
+                             mask_all, idx_k):
+            K = idx_k.shape[0]
+            keys = jax.random.split(key, K)
+
+            def body(carry, inp):
+                params, opt_state = carry
+                sub, idx = inp
+                # replicated-Q -> batch-sharded: each device slices the rows
+                # it already holds (a free reshard, no collective)
+                f = wsc(jnp.take(feats_all, idx, axis=0), bsh)
+                l = wsc(jnp.take(labels_all, idx, axis=0), mask_sh)
+                m = wsc(jnp.take(mask_all, idx, axis=0), mask_sh)
+                params, opt_state, loss = step(params, opt_state, sub, f, l, m)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (keys, idx_k))
+            return params, opt_state, jnp.sum(losses)
+
+        self._gather_scan = jax.jit(
+            gather_scan_step,
+            in_shardings=(self.param_shardings, self._opt_shardings_cached(), rep,
+                          res_f_sh, res_lm_sh, res_lm_sh, rep),
+            out_shardings=(self.param_shardings, self._opt_shardings_cached(), rep),
+            donate_argnums=(0, 1),
+        )
+
+        def predict(params, features, mask):
+            return apply_scorer(params, scorer_cfg, features, mask,
+                                training=False, cp=cp, pp=pp)
+
+        self._predict = jax.jit(
+            predict, in_shardings=(self.param_shardings, bsh, mask_sh))
+
         def eval_batch(params, features, labels, mask, ks):
             scores = apply_scorer(params, scorer_cfg, features, mask,
-                                  training=False, cp=cp)
+                                  training=False, cp=cp, pp=pp)
             out = evaluate_all_at_ks(scores, labels, mask, ks, label_type)
             sums = {m: jnp.sum(out[m], axis=0) for m in ("nDCG", "nERR", "AP", "P")}
             sums["count"] = jnp.sum(jnp.any(mask, axis=-1).astype(jnp.float32))
@@ -248,6 +323,24 @@ class DistributedTrainer:
         self._eval_scan = jax.jit(
             eval_batches, static_argnums=(4,),
             in_shardings=(self.param_shardings, stacked_sh, stacked_sh, stacked_sh))
+
+        # gather-fused eval over device-resident bucket arrays
+        def eval_gather(params, feats_all, labels_all, mask_all, idx_k, ks):
+            def one(idx):
+                # no explicit constraint under vmap: XLA propagates the
+                # resident arrays' (replicated-Q, seq-sharded-N) layout
+                f = jnp.take(feats_all, idx, axis=0)
+                l = jnp.take(labels_all, idx, axis=0)
+                m = jnp.take(mask_all, idx, axis=0)
+                return eval_batch(params, f, l, m, ks)
+
+            outs = jax.vmap(one)(idx_k)
+            return {k: jnp.sum(v, axis=0) for k, v in outs.items()}
+
+        self._eval_gather = jax.jit(
+            eval_gather, static_argnums=(5,),
+            in_shardings=(self.param_shardings, res_f_sh, res_lm_sh,
+                          res_lm_sh, rep))
 
     def _opt_shardings_cached(self):
         if not hasattr(self, "_opt_sh"):
@@ -303,10 +396,121 @@ class DistributedTrainer:
         # mean per REAL query, matching AdhocRanker.train_epoch
         return total / max(num_queries, 1), False
 
+    # --------------------------------------------------- device-resident path
+
+    def _mesh_resident(self, res):
+        """Upload a DeviceResidentDataset's bucket arrays onto the mesh with
+        the resident shardings, once per (trainer, dataset) pair."""
+        import weakref
+
+        cache = getattr(self, "_res_cache", None)
+        if cache is None:
+            cache = self._res_cache = {}
+        key = id(res)
+        hit = cache.get(key)
+        if hit is not None and hit[0]() is res:
+            return hit[1]
+        f_sh, lm_sh = self._resident_shardings()
+        arrs = {}
+        for b in res.buckets:
+            f, l, m = res.bucket_arrays(b)
+            arrs[b] = (jax.device_put(f, f_sh), jax.device_put(l, lm_sh),
+                       jax.device_put(m, lm_sh))
+        cache[key] = (weakref.ref(res), arrs)
+        return arrs
+
+    def train_epoch_resident(self, res, epoch_k: int = 1, shuffle: bool = True):
+        """One epoch over a DeviceResidentDataset under mesh shardings —
+        mirrors train/ranker.py train_epoch_resident: one dispatch per
+        K-batch chunk, index-only host traffic, per-check-epoch NaN/zero
+        stop guard (reference stop_training, base/ranker.py:547-561)."""
+        from ptranking_tpu.train.optimizer import epoch_lr, set_lr
+
+        self.opt_state = set_lr(self.opt_state, epoch_lr(self.opt_cfg, epoch_k))
+        arrs = self._mesh_resident(res)
+        losses = []
+        checked = (epoch_k % self.stop_check_freq) != 0
+        for bucket, idx_k, _n_real in res.epoch_index_chunks(
+                shuffle, epoch_k, self.scan_steps):
+            feats_all, labels_all, mask_all = arrs[bucket]
+            if not checked:
+                idx0 = jnp.asarray(idx_k[0])
+                # eager host-side gathers come out replicated; commit them to
+                # the batch sharding the predict jit declares
+                f0 = jax.device_put(jnp.take(feats_all, idx0, axis=0),
+                                    self._batch_sharding)
+                m0 = jax.device_put(
+                    jnp.take(mask_all, idx0, axis=0),
+                    jax.sharding.NamedSharding(self.mesh,
+                                               self._batch_sharding.spec))
+                scores = self._predict(self.params, f0, m0)
+                masked = jnp.where(m0, scores, 0.0)
+                if (not bool(jnp.all(jnp.isfinite(masked)))
+                        or not bool(jnp.any(masked != 0.0))):
+                    return float("nan"), True
+                checked = True
+            self._key, sub = jax.random.split(self._key)
+            self.params, self.opt_state, loss = self._gather_scan(
+                self.params, self.opt_state, sub, feats_all, labels_all,
+                mask_all, jnp.asarray(idx_k))
+            losses.append(loss)
+        total = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
+        if not np.isfinite(total):
+            return float("nan"), True
+        return total / max(res.num_queries, 1), False
+
+    def _evaluate_resident(self, res, ks):
+        arrs = self._mesh_resident(res)
+        device_sums = []
+        for bucket, idx_k, _ in res.epoch_index_chunks(False, 0, self.scan_steps):
+            f, l, m = arrs[bucket]
+            device_sums.append(self._eval_gather(
+                self.params, f, l, m, jnp.asarray(idx_k), ks))
+        acc, count = {}, 0.0
+        for sums in device_sums:
+            count += float(sums["count"])
+            for k in ("nDCG", "nERR", "AP", "P"):
+                acc[k] = acc.get(k, 0.0) + np.asarray(sums[k])
+        return {k: v / max(count, 1.0) for k, v in acc.items()}
+
+    # ------------------------------------------------------------- checkpoint
+
+    def checkpoint(self) -> Dict[str, Any]:
+        """Self-describing state for mid-training resume (mirrors
+        train/ranker.py checkpoint; shardings are re-derived on restore)."""
+        to_np = lambda t: jax.tree_util.tree_map(np.asarray, t)
+        return {
+            "model_id": self.model_id,
+            "scorer_cfg": self.scorer_cfg,
+            "model_paras": self.model_paras,
+            "opt_cfg": self.opt_cfg,
+            "label_type": self.label_type,
+            "params": to_np(self.params),
+            "opt_state": to_np(self.opt_state),
+            "key": np.asarray(self._key),
+        }
+
+    def restore(self, ckpt: Dict[str, Any]):
+        """Repopulate params/opt-state/key under this trainer's mesh
+        shardings from a checkpoint() dict (also accepts single-chip
+        AdhocRanker checkpoints of the same config)."""
+        assert ckpt["model_id"] == self.model_id, (ckpt["model_id"], self.model_id)
+        self.params = jax.device_put(ckpt["params"], self.param_shardings)
+        self.opt_state = jax.device_put(ckpt["opt_state"],
+                                        self._opt_shardings_cached())
+        self._key = jnp.asarray(ckpt["key"])
+        return self
+
     def evaluate(self, batches, ks=(1, 3, 5, 10)):
         from ptranking_tpu.utils.chunking import iter_shape_chunks
 
         ks = tuple(ks)
+        from ptranking_tpu.data.device_cache import DeviceResidentDataset
+
+        if isinstance(batches, DeviceResidentDataset):
+            return self._evaluate_resident(batches, ks)
+        if hasattr(batches, "batches"):
+            batches = batches.batches()
         device_sums = []
         for chunk, fused in iter_shape_chunks(batches, self.scan_steps):
             if fused:

@@ -386,3 +386,153 @@ def test_distributed_train_epoch_scan_fusion():
     assert losses[-1] < losses[0]
     m = tr.evaluate(ds.batches(), ks=(1, 5))
     assert np.isfinite(m["nDCG"]).all()
+
+
+# --------------------------------------------------- device-resident path
+
+
+def _resident_setup(mesh_cfg, model="LambdaRank", shard_docs=False, **kw):
+    from ptranking_tpu.data.device_cache import DeviceResidentDataset
+
+    qs = make_synthetic_queries(num_queries=72, num_features=24, seed=3,
+                                min_docs=8, max_docs=16)
+    # B=16 per batch (divisible by every data-axis size used below); 72
+    # queries -> 4 full batches + a sentinel-padded remainder batch.
+    # BN=False: behind batch norm the linear bias is redundant — its ~0
+    # gradient is reduction-order noise that Adam amplifies to lr-scale,
+    # which would break exact-match assertions without testing anything
+    ds = BucketedDataset(qs, batch_docs=16 * 16, buckets=(16,))
+    res = DeviceResidentDataset(ds)
+    mesh = make_mesh(mesh_cfg)
+    cfg = ScorerConfig(sf_id="pointsf", num_features=24, num_layers=2,
+                       h_dim=32, dropout=0.0, apply_tl_af=False, BN=False)
+    tr = DistributedTrainer(model, cfg, mesh, shard_docs=shard_docs,
+                            scan_steps=2,
+                            opt_cfg=OptimizerConfig(opt="Adam", lr=1e-2),
+                            **kw).init()
+    return ds, res, tr
+
+
+def test_distributed_resident_epoch_matches_streamed():
+    """train_epoch_resident (gather-fused, mesh-sharded) reproduces the
+    streamed train_epoch exactly: same schedule, same PRNG stream, same math."""
+    ds, res, tr_res = _resident_setup(MeshConfig(data=8))
+    _, _, tr_str = _resident_setup(MeshConfig(data=8))
+    for e in range(1, 4):
+        loss_r, stop_r = tr_res.train_epoch_resident(res, e)
+        loss_s, stop_s = tr_str.train_epoch(ds.batches(shuffle=True, epoch=e), e)
+        assert not stop_r and not stop_s
+        np.testing.assert_allclose(loss_r, loss_s, rtol=1e-5)
+    # params match up to degenerate directions: ranking losses are score-
+    # shift-invariant, so the FINAL bias has ~0 gradient — reduction-order
+    # noise there is amplified to lr-scale by Adam's normalization. The
+    # per-epoch loss equality above (rtol 1e-5, losses computed from the
+    # full param set) is the semantic-equivalence assertion.
+    for a, b in zip(jax.tree_util.tree_leaves(tr_res.params),
+                    jax.tree_util.tree_leaves(tr_str.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+    m_r = tr_res.evaluate(res, ks=(1, 5))
+    m_s = tr_str.evaluate(ds.batches(), ks=(1, 5))
+    np.testing.assert_allclose(m_r["nDCG"], m_s["nDCG"], atol=1e-6)
+
+
+def test_distributed_resident_epoch_under_cp():
+    """The resident path under doc-axis CP (seq-sharded resident arrays)
+    matches single-device resident training."""
+    ds, res, tr_cp = _resident_setup(MeshConfig(data=2, seq=4), shard_docs=True)
+    _, res1, tr1 = _resident_setup(MeshConfig(data=1))
+    for e in range(1, 3):
+        loss_cp, _ = tr_cp.train_epoch_resident(res, e)
+        loss_1, _ = tr1.train_epoch_resident(res1, e)
+        np.testing.assert_allclose(loss_cp, loss_1, rtol=2e-3)
+    m_cp = tr_cp.evaluate(res, ks=(1, 5))
+    m_1 = tr1.evaluate(res1, ks=(1, 5))
+    np.testing.assert_allclose(m_cp["nDCG"], m_1["nDCG"], atol=1e-4)
+
+
+def test_distributed_resident_one_dispatch_per_chunk_index_only():
+    """The resident epoch issues exactly one _gather_scan call per K-batch
+    chunk, and the array arguments are the SAME resident buffers every call
+    (host->device traffic is the [K, B] index rows only)."""
+    ds, res, tr = _resident_setup(MeshConfig(data=8))
+    chunks = list(res.epoch_index_chunks(True, 1, tr.scan_steps))
+    calls = []
+    orig = tr._gather_scan
+
+    def spy(params, opt_state, key, f, l, m, idx):
+        calls.append((id(f), id(l), id(m), np.asarray(idx).shape))
+        return orig(params, opt_state, key, f, l, m, idx)
+
+    tr._gather_scan = spy
+    tr.train_epoch_resident(res, 1)
+    tr._gather_scan = orig
+    assert len(calls) == len(chunks)
+    arrs = tr._mesh_resident(res)
+    expected_ids = {b: tuple(id(a) for a in arrs[b]) for b in arrs}
+    for (bucket, idx_k, _), (fid, lid, mid, idx_shape) in zip(chunks, calls):
+        assert (fid, lid, mid) == expected_ids[bucket]
+        assert idx_shape == idx_k.shape
+
+
+def test_distributed_resume_roundtrip():
+    """checkpoint()/restore() resumes mid-training bit-compatibly."""
+    ds, res, tr = _resident_setup(MeshConfig(data=4))
+    tr.train_epoch_resident(res, 1)
+    ck = tr.checkpoint()
+    loss_next, _ = tr.train_epoch_resident(res, 2)
+
+    _, res2, tr2 = _resident_setup(MeshConfig(data=4))
+    tr2.restore(ck)
+    loss_resumed, _ = tr2.train_epoch_resident(res2, 2)
+    np.testing.assert_allclose(loss_resumed, loss_next, rtol=1e-6)
+
+
+def test_distributed_resident_stop_guard_fires():
+    """A poisoned (NaN) parameter set trips the per-check-epoch guard."""
+    ds, res, tr = _resident_setup(MeshConfig(data=4))
+    tr.params = jax.tree_util.tree_map(lambda p: p * jnp.nan, tr.params)
+    loss, stop = tr.train_epoch_resident(res, epoch_k=tr.stop_check_freq)
+    assert stop
+
+
+# ----------------------------------------------------------------- PP knob
+
+
+def test_pp_stages_predict_matches_dense():
+    """DistributedTrainer(pp_stages=k) routes the listsf encoder through the
+    GPipe pipeline at inference; scores match the dense path."""
+    from ptranking_tpu.data.device_cache import DeviceResidentDataset
+
+    sf = ScorerConfig.default_listsf(24, ff_dims=(32,), encoder_layers=2,
+                                     dropout=0.0)
+    qs = make_synthetic_queries(num_queries=32, num_features=24, seed=3,
+                                min_docs=8, max_docs=16)
+    ds = BucketedDataset(qs, batch_docs=16 * 16, buckets=(16,))
+    batches = list(ds.batches())
+    mesh_pp = make_mesh(MeshConfig(data=2, model=2, seq=1))
+    tr_pp = DistributedTrainer("LambdaRank", sf, mesh_pp, pp_stages=2,
+                               opt_cfg=OptimizerConfig(opt="Adam", lr=1e-3)).init()
+    tr_1 = DistributedTrainer("LambdaRank", sf, make_mesh(MeshConfig(data=1)),
+                              opt_cfg=OptimizerConfig(opt="Adam", lr=1e-3)).init()
+    b = batches[0]
+    s_pp = np.asarray(tr_pp._predict(tr_pp.params, np.asarray(b.features),
+                                     np.asarray(b.mask)))
+    s_1 = np.asarray(tr_1._predict(tr_1.params, np.asarray(b.features),
+                                   np.asarray(b.mask)))
+    mask = np.asarray(b.mask)
+    np.testing.assert_allclose(s_pp[mask], s_1[mask], atol=1e-4)
+    # the staged path also serves evaluate()
+    m_pp = tr_pp.evaluate(batches, ks=(1, 5))
+    m_1 = tr_1.evaluate(batches, ks=(1, 5))
+    np.testing.assert_allclose(m_pp["nDCG"], m_1["nDCG"], atol=1e-4)
+
+
+def test_pp_stages_guards():
+    sf = ScorerConfig.default_listsf(24, ff_dims=(32,), encoder_layers=2)
+    mesh = make_mesh(MeshConfig(data=2, model=2, seq=1))
+    with pytest.raises(AssertionError):
+        DistributedTrainer("LambdaRank", sf, mesh, pp_stages=2, tp=True)
+    with pytest.raises(AssertionError):
+        DistributedTrainer("LambdaRank", sf, mesh, pp_stages=4)  # != model axis
+    with pytest.raises(AssertionError):
+        DistributedTrainer("LambdaRank", _pointsf_cfg(), mesh, pp_stages=2)
