@@ -211,3 +211,148 @@ def ring_lambda_loss(
         out_specs=P(axis_name), **_SM_NOCHECK,
     )(sorted_scores, sorted_labels, n_gains, mask)
     return out[0]
+
+
+def _loss_psum_axes(axis_name, batch_axis):
+    """The axes a CP loss scalar reduces over: seq + any batch shards."""
+    if batch_axis is None:
+        return (axis_name,)
+    if isinstance(batch_axis, (tuple, list)):
+        return (axis_name, *batch_axis)
+    return (axis_name, batch_axis)
+
+
+def ring_lambdaloss(
+    sorted_scores: jnp.ndarray,   # [B, N] sorted desc by score; N sharded
+    sorted_labels: jnp.ndarray,   # [B, N] labels in that order
+    n_gains: jnp.ndarray,         # [B, N] gain/IDCG of the sorted order
+    mask: jnp.ndarray,            # [B, N] sorted mask
+    mesh: Mesh,
+    loss_type: str = "NDCG_Loss2",
+    k: int = 5,
+    sigma: float = 1.0,
+    mu: float = 5.0,
+    eps: float = 1e-12,
+    axis_name: str = "seq",
+    batch_axis: Optional[str] = None,
+) -> jnp.ndarray:
+    """Doc-axis-sharded LambdaLoss (losses/listwise.py::lambda_loss blockwise).
+
+    The N x N power-weighted pair space (reference lambdaloss.py:33-138)
+    rotates column blocks around the ring exactly like ring_lambda_loss;
+    every weight/clamp/truncation quirk of the dense path is reproduced on
+    global positions (rank_i = device_idx * n_loc + local), so the CP loss
+    equals the dense loss bit-for-bit up to reduction order.
+    """
+    P_ = mesh.shape[axis_name]
+    perm = [(i, (i + 1) % P_) for i in range(P_)]
+    log2_eps = jnp.log2(jnp.asarray(eps, jnp.float32))
+
+    def per_device(s_l, l_l, g_l, m_l):
+        idx = jax.lax.axis_index(axis_name)
+        n_loc = s_l.shape[-1]
+        local_ranks = jnp.arange(n_loc)
+
+        def pair_block(si, li, gi, mi, ri, sj, lj, gj, mj, rj):
+            diffs = jnp.clip(si[:, :, None] - sj[:, None, :], -1e8, 1e8)
+            log_probas = jnp.log2(jnp.clip(jax.nn.sigmoid(sigma * diffs), eps, None))
+            pi = ri.astype(jnp.float32)[:, None]   # global positions, rows
+            pj = rj.astype(jnp.float32)[None, :]
+            if loss_type == "NDCG_Loss1":
+                # column-aligned reference broadcast: w_ij = nG_j * log2(j+2)
+                w = (gj * jnp.log2(rj.astype(jnp.float32) + 2.0))[:, None, :]
+            else:
+                d = jnp.abs(pi - pj)
+                delta_ij = jnp.abs(jnp.log2(d + 2.0) - jnp.log2(d + 1.0))
+                delta_ij = jnp.where(pi == pj, 0.0, delta_ij)
+                ng_diffs = jnp.abs(gi[:, :, None] - gj[:, None, :])
+                if loss_type == "NDCG_Loss2":
+                    w = delta_ij[None] * ng_diffs
+                elif loss_type == "NDCG_Loss2++":
+                    rho_ij = jnp.abs(jnp.log2(pi + 2.0) - jnp.log2(pj + 2.0))
+                    w = (rho_ij[None] + mu * delta_ij[None]) * ng_diffs
+                else:
+                    raise NotImplementedError(loss_type)
+            log_weighted = jnp.maximum(w * log_probas, log2_eps)
+            select = ((mi[:, :, None] & mj[:, None, :])
+                      & ((ri[:, None] < k) & (rj[None, :] < k))[None])
+            if loss_type in ("NDCG_Loss2", "NDCG_Loss2++"):
+                select = select & (li[:, :, None] - lj[:, None, :] > 0)
+            return jnp.sum(jnp.where(select, log_weighted, 0.0))
+
+        def step(carry, r):
+            s_c, l_c, g_c, m_c, acc = carry
+            src = (idx - r) % P_
+            rank_i = idx * n_loc + local_ranks
+            rank_j = src * n_loc + local_ranks
+            acc = acc + pair_block(s_l, l_l, g_l, m_l, rank_i,
+                                   s_c, l_c, g_c, m_c, rank_j)
+            s_n = jax.lax.ppermute(s_c, axis_name, perm)
+            l_n = jax.lax.ppermute(l_c, axis_name, perm)
+            g_n = jax.lax.ppermute(g_c, axis_name, perm)
+            m_n = jax.lax.ppermute(m_c, axis_name, perm)
+            return (s_n, l_n, g_n, m_n, acc), None
+
+        init = (s_l, l_l, g_l, m_l, jnp.zeros((), jnp.float32))
+        acc = jax.lax.scan(step, init, jnp.arange(P_))[0][-1]
+        return -jax.lax.psum(acc, _loss_psum_axes(axis_name, batch_axis))[None]
+
+    spec = P(batch_axis, axis_name)
+    out = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(spec, spec, spec, spec),
+        out_specs=P(axis_name), **_SM_NOCHECK,
+    )(sorted_scores, sorted_labels, n_gains, mask)
+    return out[0]
+
+
+def ring_approx_ndcg(
+    scores: jnp.ndarray,    # [B, N] raw scores; N sharded over axis_name
+    n_gains: jnp.ndarray,   # [B, N] gain/IDCG of the (presorted-ideal) labels
+    mask: jnp.ndarray,      # [B, N]
+    mesh: Mesh,
+    alpha: float = 10.0,
+    axis_name: str = "seq",
+    batch_axis: Optional[str] = None,
+) -> jnp.ndarray:
+    """Doc-axis-sharded ApproxNDCG (losses/listwise.py::approx_ndcg blockwise).
+
+    The smooth ranks pi_i = 0.5 + sum_j sigmoid(alpha (s_j - s_i)) reduce the
+    N x N pair space ALONG j — a running row-sum while column blocks rotate
+    around the ring — so only n/P-sized blocks exist per device. No sort is
+    needed (labels are the ideal order thanks to presort), making this loss
+    fully gather-free under CP.
+    """
+    P_ = mesh.shape[axis_name]
+    perm = [(i, (i + 1) % P_) for i in range(P_)]
+
+    def per_device(s_l, g_l, m_l):
+        def step(carry, _):
+            s_c, m_c, rank_acc = carry
+            indicators = jax.nn.sigmoid(alpha * (s_c[:, None, :] - s_l[:, :, None]))
+            valid = m_l[:, :, None] & m_c[:, None, :]
+            rank_acc = rank_acc + jnp.sum(jnp.where(valid, indicators, 0.0), axis=-1)
+            s_n = jax.lax.ppermute(s_c, axis_name, perm)
+            m_n = jax.lax.ppermute(m_c, axis_name, perm)
+            return (s_n, m_n, rank_acc), None
+
+        init = (s_l, m_l, jnp.zeros(s_l.shape, jnp.float32))
+        (_, _, rank_sums), _ = jax.lax.scan(step, init, None, length=P_)
+        hat_pi = rank_sums + 0.5
+        # local partial of each query's smooth DCG; n_gains already carries
+        # the 1/IDCG normalization (computed rowwise outside the shard_map)
+        local = jnp.sum(jnp.where(m_l, g_l / jnp.log2(hat_pi + 1.0), 0.0), axis=-1)
+        total = jnp.sum(jax.lax.psum(local, axis_name))
+        if batch_axis is not None:
+            axes = (tuple(batch_axis) if isinstance(batch_axis, (tuple, list))
+                    else (batch_axis,))
+            total = jax.lax.psum(total, axes)
+        return -total[None]
+
+    spec = P(batch_axis, axis_name)
+    out = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=P(axis_name), **_SM_NOCHECK,
+    )(scores, n_gains, mask)
+    return out[0]

@@ -35,8 +35,13 @@ class DistributedTrainer:
     for the cheap [B, N] score-row sort.
     """
 
-    # model ids whose [B, N, N] pairwise loss routes through ring_lambda_loss
-    CP_PAIR_LOSSES = ("LambdaRank", "RankNet")
+    # model ids whose [B, N, N] pair space routes through a blockwise ring
+    # loss under shard_docs (no full pair matrix per device; HLO-asserted)
+    CP_PAIR_LOSSES = ("LambdaRank", "RankNet", "LambdaLoss", "ApproxNDCG")
+    # O(N^2) losses NOT yet ring-routed: under shard_docs they fall back to
+    # XLA auto-gather of the full [B, N, N] block (correct, but the memory
+    # win of CP is lost for the loss term) — warned once at init
+    CP_QUADRATIC_FALLBACK = ("SoftRank", "WassRank")
 
     stop_check_freq = 10  # reference stop_training cadence (base/ranker.py:496)
 
@@ -81,6 +86,14 @@ class DistributedTrainer:
         self.scan_steps = max(int(scan_steps), 1)
         self.seed = seed
         self.stochastic = model_id in STOCHASTIC
+        if shard_docs and model_id in self.CP_QUADRATIC_FALLBACK:
+            import warnings
+
+            warnings.warn(
+                f"{model_id} under shard_docs=True: the O(N^2) loss term is "
+                "not ring-routed — XLA will auto-gather the full [B, N, N] "
+                "block for the loss (attention stays blockwise). See "
+                "docs/parallel.md.", stacklevel=2)
 
     def init(self):
         key = jax.random.PRNGKey(self.seed)
@@ -144,18 +157,32 @@ class DistributedTrainer:
                       batch_axis=batch_axes)
 
     def _cp_pair_loss(self):
-        """Doc-axis-sharded LambdaRank/RankNet: sort the cheap [B, N] score
-        rows (XLA gathers scalars, not matrices), then accumulate the pair BCE
-        blockwise around the ring (parallel/ring.py ring_lambda_loss). Exactly
-        matches losses.{lambda_rank,ranknet} (equivalence-tested)."""
+        """Doc-axis-sharded O(N^2) losses: row-wise O(N) prep (sorts gather
+        [B, N] scalars, not matrices), then the pair space accumulates
+        blockwise around the ring (parallel/ring.py). Each routing exactly
+        matches its dense loss (equivalence-tested):
+
+          RankNet/LambdaRank -> ring_lambda_loss   (pair BCE [+ ΔnDCG])
+          LambdaLoss         -> ring_lambdaloss    (power-weighted log-loss)
+          ApproxNDCG         -> ring_approx_ndcg   (blockwise rank sums)
+        """
         from ptranking_tpu.ops import gain as label_gain
         from ptranking_tpu.ops.sorting import sort_labels_by_scores
-        from ptranking_tpu.parallel.ring import ring_lambda_loss
+        from ptranking_tpu.parallel.ring import (
+            ring_approx_ndcg, ring_lambda_loss, ring_lambdaloss)
 
         model_id, label_type = self.model_id, self.label_type
-        sigma = float(self.model_paras.get("sigma", 1.0))
+        paras = self.model_paras
+        sigma = float(paras.get("sigma", 1.0))
         mesh = self.mesh
         batch_axes = ("dcn", "data") if "dcn" in mesh.axis_names else "data"
+
+        def rowwise_idcg(labels, mask):
+            gains = label_gain(jnp.where(mask, labels, 0.0), label_type)
+            n = labels.shape[-1]
+            discounts = 1.0 / jnp.log2(jnp.arange(n, dtype=labels.dtype) + 2.0)
+            return jnp.maximum(
+                jnp.sum(gains * discounts * mask, axis=-1, keepdims=True), 1e-12)
 
         def cp_loss(scores, labels, mask):
             if model_id == "RankNet":
@@ -164,15 +191,26 @@ class DistributedTrainer:
                 return ring_lambda_loss(scores, labels, zeros, mask, mesh,
                                         sigma=sigma, weighted=False,
                                         batch_axis=batch_axes)
-            # LambdaRank: pairs over the predicted order with |ΔnDCG| weights
+            if model_id == "ApproxNDCG":
+                # labels are the ideal order (presort): no sort at all
+                idcg = rowwise_idcg(labels, mask)
+                gains = label_gain(jnp.where(mask, labels, 0.0), label_type)
+                n_gains = jnp.where(mask, gains / idcg, 0.0)
+                return ring_approx_ndcg(scores, n_gains, mask, mesh,
+                                        alpha=float(paras.get("alpha", 10.0)),
+                                        batch_axis=batch_axes)
+            # sorted-order pair losses
             s_sorted, l_sorted, m_sorted = sort_labels_by_scores(scores, labels, mask)
-            gains = label_gain(jnp.where(mask, labels, 0.0), label_type)
-            n = labels.shape[-1]
-            discounts = 1.0 / jnp.log2(jnp.arange(n, dtype=labels.dtype) + 2.0)
-            idcg = jnp.maximum(
-                jnp.sum(gains * discounts * mask, axis=-1, keepdims=True), 1e-12)
+            idcg = rowwise_idcg(labels, mask)
             pred_gains = label_gain(jnp.where(m_sorted, l_sorted, 0.0), label_type)
             n_gains = jnp.where(m_sorted, pred_gains / idcg, 0.0)
+            if model_id == "LambdaLoss":
+                return ring_lambdaloss(
+                    s_sorted, l_sorted, n_gains, m_sorted, mesh,
+                    loss_type=paras.get("loss_type", "NDCG_Loss2"),
+                    k=int(paras.get("k", 5)), sigma=sigma,
+                    mu=float(paras.get("mu", 5.0)), batch_axis=batch_axes)
+            # LambdaRank: pairs over the predicted order with |ΔnDCG| weights
             return ring_lambda_loss(s_sorted, l_sorted, n_gains, m_sorted, mesh,
                                     sigma=sigma, weighted=True,
                                     batch_axis=batch_axes)

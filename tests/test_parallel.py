@@ -536,3 +536,65 @@ def test_pp_stages_guards():
         DistributedTrainer("LambdaRank", sf, mesh, pp_stages=4)  # != model axis
     with pytest.raises(AssertionError):
         DistributedTrainer("LambdaRank", _pointsf_cfg(), mesh, pp_stages=2)
+
+
+# ------------------------------------------- CP loss zoo (LambdaLoss, ApproxNDCG)
+
+
+@pytest.mark.parametrize("model,paras", [
+    ("LambdaLoss", {"loss_type": "NDCG_Loss2", "k": 8, "sigma": 1.0}),
+    ("LambdaLoss", {"loss_type": "NDCG_Loss2++", "k": 8, "sigma": 1.0, "mu": 5.0}),
+    ("LambdaLoss", {"loss_type": "NDCG_Loss1", "k": 8, "sigma": 1.0}),
+    ("ApproxNDCG", {"alpha": 10.0}),
+])
+def test_cp_loss_zoo_matches_single_device(model, paras):
+    """shard_docs=True routes LambdaLoss/ApproxNDCG through the blockwise
+    ring losses; training matches the dense single-device path."""
+    sf = ScorerConfig(sf_id="pointsf", num_features=24, num_layers=2, h_dim=32,
+                      dropout=0.0, apply_tl_af=False, BN=False)
+    qs = make_synthetic_queries(num_queries=32, num_features=24, seed=3,
+                                min_docs=8, max_docs=16)
+    ds = BucketedDataset(qs, batch_docs=16 * 16, buckets=(16,))
+    batches = list(ds.batches())
+
+    def run(mesh_cfg, shard_docs):
+        mesh = make_mesh(mesh_cfg)
+        tr = DistributedTrainer(model, sf, mesh, model_paras=paras,
+                                shard_docs=shard_docs,
+                                opt_cfg=OptimizerConfig(opt="Adam", lr=1e-3)).init()
+        return [tr.train_step(batches[i % len(batches)]) for i in range(4)]
+
+    losses_cp = run(MeshConfig(data=2, seq=4), True)
+    losses_1 = run(MeshConfig(data=1), False)
+    np.testing.assert_allclose(losses_cp, losses_1, rtol=2e-3)
+
+
+@pytest.mark.parametrize("model,paras", [
+    ("LambdaLoss", {"loss_type": "NDCG_Loss2", "k": 8}),
+    ("ApproxNDCG", {"alpha": 10.0}),
+])
+def test_cp_loss_zoo_never_materialises_pair_matrix(model, paras):
+    """The compiled CP step for the newly ring-routed losses holds no full
+    [B, N, N] pair buffer (VERDICT r2 #4)."""
+    sf = ScorerConfig.default_listsf(24, ff_dims=(32,), encoder_layers=1,
+                                     n_heads=2, dropout=0.0)
+    qs = make_synthetic_queries(num_queries=16, num_features=24, seed=3,
+                                min_docs=16, max_docs=16)
+    ds = BucketedDataset(qs, batch_docs=16 * 16, buckets=(16,))
+    batch = next(iter(ds.batches()))
+    mesh = make_mesh(MeshConfig(data=1, seq=8))
+    tr = DistributedTrainer(model, sf, mesh, model_paras=paras, shard_docs=True,
+                            opt_cfg=OptimizerConfig(opt="Adam", lr=1e-3)).init()
+    f, l, m = tr._put(batch)
+    hlo = tr._step.lower(tr.params, tr.opt_state, jax.random.PRNGKey(0),
+                         f, l, m).compile().as_text()
+    B, H, N = batch.features.shape[0], 2, 16
+    assert f"{B},{H},{N},{N}]" not in hlo, "CP still materialises [B,H,N,N]"
+    assert f"{B},{N},{N}]" not in hlo, "CP still materialises [B,N,N] pairs"
+
+
+def test_cp_quadratic_fallback_warns():
+    sf = ScorerConfig(sf_id="pointsf", num_features=24, num_layers=2, h_dim=32)
+    mesh = make_mesh(MeshConfig(data=1, seq=8))
+    with pytest.warns(UserWarning, match="not ring-routed"):
+        DistributedTrainer("SoftRank", sf, mesh, shard_docs=True)
