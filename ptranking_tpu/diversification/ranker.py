@@ -32,6 +32,17 @@ from ptranking_tpu.train.optimizer import OptimizerConfig, epoch_lr, make_optimi
 DIV_MODELS = ["DALETOR", "DivProbRanker"]
 
 
+def _reduce_div_rows(packed_rows, K: int) -> Dict[str, np.ndarray]:
+    """Sum packed [3K+1] (aNDCG, ERR-IA, nERR-IA, count) rows on DEVICE and
+    fetch once (same RPC-storm fix as train/ranker.py _reduce_packed_rows)."""
+    names = ("aNDCG", "ERR-IA", "nERR-IA")
+    if not packed_rows:
+        return {m: np.zeros(K) for m in names}
+    total = np.asarray(jnp.sum(jnp.stack(packed_rows), axis=0))
+    count = max(float(total[3 * K]), 1.0)
+    return {m: total[i * K:(i + 1) * K] / count for i, m in enumerate(names)}
+
+
 class DivRanker:
     def __init__(self, model_id: str, scorer_cfg: DivScorerConfig,
                  model_paras: Optional[Dict[str, Any]] = None,
@@ -153,8 +164,11 @@ class DivRanker:
             err_ia = err_ia_at_ks(sys_rele, sys_mask, 1.0, ks, subtopic_mask=smask)
             nerr_ia = nerr_ia_at_ks(sys_rele, rele_mat, sys_mask, 1.0, ks, subtopic_mask=smask)
             count = jnp.sum(jnp.any(dmask, -1).astype(jnp.float32))
-            return {"aNDCG": jnp.sum(andcg, 0), "ERR-IA": jnp.sum(err_ia, 0),
-                    "nERR-IA": jnp.sum(nerr_ia, 0), "count": count}
+            # packed [3K+1] sums: the epoch loop reduces on device and
+            # fetches ONE vector (per-chunk dict fetches were the eval
+            # bottleneck on a remote-attached chip — see train/ranker.py)
+            return jnp.concatenate([jnp.sum(andcg, 0), jnp.sum(err_ia, 0),
+                                    jnp.sum(nerr_ia, 0), count[None]])
 
         self._eval = eval_batch
 
@@ -166,8 +180,7 @@ class DivRanker:
                                   jnp.take(d_all, idx, 0), jnp.take(r_all, idx, 0),
                                   jnp.take(m_all, idx, 0), ks,
                                   jnp.take(s_all, idx, 0))
-            outs = jax.vmap(one)(idx_k)
-            return {k: jnp.sum(v, axis=0) for k, v in outs.items()}
+            return jnp.sum(jax.vmap(one)(idx_k), axis=0)
 
         self._eval_gather = eval_gather
 
@@ -228,32 +241,24 @@ class DivRanker:
         """Accepts an iterator of DivBatch or a dataset object; the
         device-resident kind takes the gather-fused path."""
         ks = tuple(ks)
+        packed_rows = []
         if hasattr(batches, "batches"):
             from ptranking_tpu.data.device_cache import DivDeviceResidentDataset
 
             if isinstance(batches, DivDeviceResidentDataset):
-                device_sums = []
                 for bucket, idx_k, _ in batches.epoch_index_chunks(
-                        False, 0, max(self.scan_steps, 1)):
+                        False, 0, 4 * max(self.scan_steps, 1)):
                     q, d, rm, dm, sm = batches.bucket_arrays(bucket)
-                    device_sums.append(self._eval_gather(
+                    packed_rows.append(self._eval_gather(
                         self.params, q, d, rm, dm, sm, jnp.asarray(idx_k), ks))
-                acc, count = {}, 0.0
-                for out in device_sums:
-                    count += float(out["count"])
-                    for m in ("aNDCG", "ERR-IA", "nERR-IA"):
-                        acc[m] = acc.get(m, 0.0) + np.asarray(out[m])
-                return {m: v / max(count, 1.0) for m, v in acc.items()} if acc else {}
+                return _reduce_div_rows(packed_rows, len(ks))
             batches = batches.batches()
-        acc, count = {}, 0.0
         for b in batches:
-            out = self._eval(self.params, jnp.asarray(b.q_repr), jnp.asarray(b.doc_reprs),
-                             jnp.asarray(b.rele_mat), jnp.asarray(b.doc_mask), ks,
-                             jnp.asarray(b.subtopic_mask))
-            count += float(out["count"])
-            for m in ("aNDCG", "ERR-IA", "nERR-IA"):
-                acc[m] = acc.get(m, 0.0) + np.asarray(out[m])
-        return {m: v / max(count, 1.0) for m, v in acc.items()}
+            packed_rows.append(self._eval(
+                self.params, jnp.asarray(b.q_repr), jnp.asarray(b.doc_reprs),
+                jnp.asarray(b.rele_mat), jnp.asarray(b.doc_mask), ks,
+                jnp.asarray(b.subtopic_mask)))
+        return _reduce_div_rows(packed_rows, len(ks))
 
     def validation(self, batches, k: int = 5, metric: str = "aNDCG") -> float:
         return float(self.evaluate(batches, ks=(k,))[metric][0])

@@ -342,21 +342,24 @@ class DistributedTrainer:
             predict, in_shardings=(self.param_shardings, bsh, mask_sh))
 
         def eval_batch(params, features, labels, mask, ks):
+            # packed [4K+1] sums (see train/ranker.py _reduce_packed_rows):
+            # the epoch reduces on device and fetches ONE vector — per-chunk
+            # dict fetches were the r2 eval bottleneck
             scores = apply_scorer(params, scorer_cfg, features, mask,
                                   training=False, cp=cp, pp=pp)
             out = evaluate_all_at_ks(scores, labels, mask, ks, label_type)
-            sums = {m: jnp.sum(out[m], axis=0) for m in ("nDCG", "nERR", "AP", "P")}
-            sums["count"] = jnp.sum(jnp.any(mask, axis=-1).astype(jnp.float32))
-            return sums
+            sums = [jnp.sum(out[m], axis=0) for m in ("nDCG", "nERR", "AP", "P")]
+            count = jnp.sum(jnp.any(mask, axis=-1).astype(jnp.float32))
+            return jnp.concatenate(sums + [count[None]])
 
         self._eval = jax.jit(eval_batch, static_argnums=(4,),
                              in_shardings=(self.param_shardings, bsh, mask_sh, mask_sh))
 
         def eval_batches(params, features_k, labels_k, mask_k, ks):
             # vmap keeps per-batch semantics (BN batch statistics)
-            outs = jax.vmap(lambda f, l, m: eval_batch(params, f, l, m, ks))(
+            rows = jax.vmap(lambda f, l, m: eval_batch(params, f, l, m, ks))(
                 features_k, labels_k, mask_k)
-            return {k: jnp.sum(v, axis=0) for k, v in outs.items()}
+            return jnp.sum(rows, axis=0)
 
         self._eval_scan = jax.jit(
             eval_batches, static_argnums=(4,),
@@ -372,8 +375,7 @@ class DistributedTrainer:
                 m = jnp.take(mask_all, idx, axis=0)
                 return eval_batch(params, f, l, m, ks)
 
-            outs = jax.vmap(one)(idx_k)
-            return {k: jnp.sum(v, axis=0) for k, v in outs.items()}
+            return jnp.sum(jax.vmap(one)(idx_k), axis=0)
 
         self._eval_gather = jax.jit(
             eval_gather, static_argnums=(5,),
@@ -498,18 +500,15 @@ class DistributedTrainer:
         return total / max(res.num_queries, 1), False
 
     def _evaluate_resident(self, res, ks):
+        from ptranking_tpu.train.ranker import _reduce_packed_rows
+
         arrs = self._mesh_resident(res)
-        device_sums = []
-        for bucket, idx_k, _ in res.epoch_index_chunks(False, 0, self.scan_steps):
+        packed_rows = []
+        for bucket, idx_k, _ in res.epoch_index_chunks(False, 0, 4 * self.scan_steps):
             f, l, m = arrs[bucket]
-            device_sums.append(self._eval_gather(
+            packed_rows.append(self._eval_gather(
                 self.params, f, l, m, jnp.asarray(idx_k), ks))
-        acc, count = {}, 0.0
-        for sums in device_sums:
-            count += float(sums["count"])
-            for k in ("nDCG", "nERR", "AP", "P"):
-                acc[k] = acc.get(k, 0.0) + np.asarray(sums[k])
-        return {k: v / max(count, 1.0) for k, v in acc.items()}
+        return _reduce_packed_rows(packed_rows, len(ks))
 
     # ------------------------------------------------------------- checkpoint
 
@@ -549,20 +548,17 @@ class DistributedTrainer:
             return self._evaluate_resident(batches, ks)
         if hasattr(batches, "batches"):
             batches = batches.batches()
-        device_sums = []
+        from ptranking_tpu.train.ranker import _reduce_packed_rows
+
+        packed_rows = []
         for chunk, fused in iter_shape_chunks(batches, self.scan_steps):
             if fused:
                 f = np.stack([np.asarray(b.features) for b in chunk])
                 l = np.stack([np.asarray(b.labels) for b in chunk])
                 m = np.stack([np.asarray(b.mask) for b in chunk])
-                device_sums.append(self._eval_scan(self.params, f, l, m, ks))
+                packed_rows.append(self._eval_scan(self.params, f, l, m, ks))
             else:
                 for b in chunk:
                     f, l, m = self._put(b)
-                    device_sums.append(self._eval(self.params, f, l, m, ks))
-        acc, count = {}, 0.0
-        for sums in device_sums:
-            count += float(sums["count"])
-            for k in ("nDCG", "nERR", "AP", "P"):
-                acc[k] = acc.get(k, 0.0) + np.asarray(sums[k])
-        return {k: v / max(count, 1.0) for k, v in acc.items()}
+                    packed_rows.append(self._eval(self.params, f, l, m, ks))
+        return _reduce_packed_rows(packed_rows, len(ks))
