@@ -241,6 +241,8 @@ class SFSetting:
                 n_heads=_first(sub.get("n_heads", 2)),
                 encoder_layers=_first(sub.get("encoder_layers", 6)),
                 encoder_type=_first(sub.get("encoder_type", "DASALC")),
+                compute_dtype=_first(sub.get("compute_dtype", "float32")),
+                lane_align=_first(sub.get("lane_align", False)),
             )
             opt = OptimizerConfig(opt=_first(j.get("opt", "Adagrad")), lr=_first(j.get("lr", 1e-3)))
         self.sf_para = {"scorer": cfg, "optimizer": opt}
@@ -287,6 +289,8 @@ class SFSetting:
                 n_heads=sub.get("n_heads", [2]),
                 encoder_layers=sub.get("encoder_layers", [3]),
                 encoder_type=sub.get("encoder_type", ["DASALC"]),
+                compute_dtype=sub.get("compute_dtype", ["float32"]),
+                lane_align=sub.get("lane_align", [False]),
             )
             axes = {k: _as_list(v) for k, v in axes.items()}
             ff_dims = tuple(sub.get("ff_dims", [128, 256, 512]))
@@ -308,6 +312,8 @@ class SFSetting:
             parts.append(cfg.bn_type)
         if not cfg.sf_id.startswith("pointsf"):
             parts.append(f"{cfg.encoder_type}E{cfg.encoder_layers}H{cfg.n_heads}")
+            if cfg.lane_align:
+                parts.append(f"Lane{cfg.width}")
         return "_".join(parts)
 
 

@@ -57,10 +57,27 @@ class ScorerConfig:
     # flash-style blockwise attention above this list length (None = dense):
     # O(N*block) memory instead of the [B,H,N,N] matrix
     attn_block_size: Optional[int] = None
+    # lane_align (listsf only): round the scorer's working width up to a
+    # multiple of 128 so every matmul fills the MXU's 128-lane tiles.
+    # MSLR's F=136 half-fills a second tile (d_head 68 is worse) — the
+    # measured reason bf16 MFU sat at 9.6% with bf16 barely beating fp32
+    # (BASELINE.md). Input features are zero-padded once at entry; all
+    # trunk matmuls (head/encoder/tail) then run at the aligned width.
+    # A model VARIANT (more params), not a numerical no-op — the
+    # training-dynamics A/B lives in BASELINE.md.
+    lane_align: bool = False
 
     @property
     def bn_per_query(self) -> bool:
         return self.bn_type == "BN2"
+
+    @property
+    def width(self) -> int:
+        """The trunk working width: num_features, rounded up to a 128-lane
+        multiple under lane_align (136 -> 256, 46 -> 128)."""
+        if self.lane_align and self.sf_id.startswith("listsf"):
+            return ((self.num_features + 127) // 128) * 128
+        return self.num_features
 
     @staticmethod
     def default_pointsf(num_features: int, **overrides) -> "ScorerConfig":
@@ -96,7 +113,7 @@ def init_scorer(key: jax.Array, cfg: ScorerConfig, dtype=jnp.float32) -> Params:
         }
     elif cfg.sf_id.startswith("listsf"):
         k_head, k_enc, k_tail = jax.random.split(key, 3)
-        F = cfg.num_features
+        F = cfg.width  # == num_features unless lane_align pads to 128-lanes
         head_dims = [F, *cfg.ff_dims, F]
         tail_dims = [F, *cfg.ff_dims, cfg.out_dim]
         return {
@@ -149,6 +166,10 @@ def apply_scorer(
         return finish(out[..., 0])
 
     elif cfg.sf_id.startswith("listsf"):
+        if cfg.width != x.shape[-1]:
+            # lane_align: zero-pad features once at entry; every trunk matmul
+            # then runs at the 128-multiple width (full MXU tiles)
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, cfg.width - x.shape[-1])))
         if training and key is not None:
             k_head, k_enc, k_tail = jax.random.split(key, 3)
         else:

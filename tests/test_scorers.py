@@ -177,3 +177,31 @@ def test_remat_grads_identical():
     for a, b in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
         # XLA may re-associate the recomputation; equality holds to fp32 ulps
         assert bool(jnp.allclose(a, b, rtol=1e-5, atol=1e-6))
+
+
+def test_lane_align_width_pad_invariance_and_grads():
+    """lane_align rounds the trunk width up to a 128-lane multiple; the
+    padded-feature channels must not break padding invariance or grads."""
+    import numpy as np
+
+    key = jax.random.PRNGKey(5)
+    cfg = ScorerConfig.default_listsf(
+        num_features=12, lane_align=True, ff_dims=(16, 16), encoder_layers=2)
+    assert cfg.width == 128
+    # aligned widths pass through untouched; pointsf is exempt
+    assert ScorerConfig.default_listsf(num_features=128, lane_align=True).width == 128
+    assert ScorerConfig(sf_id="pointsf", num_features=12, lane_align=True).width == 12
+
+    x, mask = make_batch(key)
+    params = init_scorer(key, cfg)
+    scores = apply_scorer(params, cfg, x, mask)
+    assert scores.shape == (3, 8)
+    assert bool(jnp.all(jnp.isfinite(jnp.where(mask, scores, 0.0))))
+
+    x2 = jnp.where(mask[..., None], x, -777.0)
+    scores2 = apply_scorer(params, cfg, x2, mask)
+    assert jnp.allclose(jnp.where(mask, scores, 0), jnp.where(mask, scores2, 0), atol=1e-4)
+
+    g = jax.grad(lambda p: jnp.sum(jnp.where(
+        mask, apply_scorer(p, cfg, x, mask, training=True, key=key), 0.0)))(params)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in jax.tree_util.tree_leaves(g))
