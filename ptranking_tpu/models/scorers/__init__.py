@@ -57,6 +57,12 @@ class ScorerConfig:
     # flash-style blockwise attention above this list length (None = dense):
     # O(N*block) memory instead of the [B,H,N,N] matrix
     attn_block_size: Optional[int] = None
+    # fused Pallas flash-attention kernel for the MHSA (TPU only; overrides
+    # attn_block_size): the scores tile never leaves VMEM and the custom-VJP
+    # backward recomputes from (o, l, m) residuals, removing the [B,H,N,N]
+    # HBM round-trips that dominate the long-list regime. Attention-prob
+    # dropout is skipped on this path (same contract as CP ring attention).
+    flash_attn: bool = False
     # lane_align (listsf only): round the scorer's working width up to a
     # multiple of 128 so every matmul fills the MXU's 128-lane tiles.
     # MSLR's F=136 half-fills a second tile (d_head 68 is worse) — the
@@ -196,6 +202,7 @@ def apply_scorer(
                 params["encoder"], v, mask, cfg.n_heads, cfg.encoder_type,
                 drop_rate=cfg.dropout, training=training, key=k_enc,
                 remat=cfg.remat, attn_block_size=cfg.attn_block_size, cp=cp,
+                flash=cfg.flash_attn and cp is None,
             )
 
         # Variant wiring mirrors reference ListNeuralRanker.forward

@@ -53,6 +53,7 @@ def mhsa_apply(
     key: Optional[jax.Array] = None,
     attn_block_size: Optional[int] = None,
     cp=None,
+    flash: bool = False,
 ) -> jnp.ndarray:
     """Masked multi-head self-attention over the document axis.
 
@@ -80,6 +81,14 @@ def mhsa_apply(
         fn = ring_attention if cp.impl == "ring" else ulysses_attention
         out = fn(q, k, v, mask, cp.mesh, axis_name=cp.axis_name,
                  batch_axis=cp.batch_axis)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, F)
+        return linear_apply(p["fc"], out)
+    if flash:
+        # fused Pallas flash kernel (TPU): scores tile never leaves VMEM.
+        # Attention-prob dropout skipped by contract (see ops/attention.py).
+        from ptranking_tpu.ops.attention import flash_attention
+
+        out = flash_attention(q, k, v, mask)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, F)
         return linear_apply(p["fc"], out)
     if attn_block_size is not None and N > attn_block_size:
@@ -168,6 +177,7 @@ def encoder_apply(
     remat: bool = False,
     attn_block_size: Optional[int] = None,
     cp=None,
+    flash: bool = False,
 ) -> jnp.ndarray:
     """Encoder wiring per variant (reference Encoder/EncoderLayer/
     SublayerConnection, list_ranker.py:53-149):
@@ -186,16 +196,16 @@ def encoder_apply(
         """Apply ONE encoder layer (shared by the unrolled and scan paths)."""
         if encoder_type == "AllRank":
             h = layer_norm_apply(layer["ln1"], x)
-            h = mhsa_apply(layer["mhsa"], h, mask, n_heads, drop_rate, training, k0, attn_block_size, cp)
+            h = mhsa_apply(layer["mhsa"], h, mask, n_heads, drop_rate, training, k0, attn_block_size, cp, flash)
             x = x + dropout(k1, h, drop_rate, training)
             h = layer_norm_apply(layer["ln2"], x)
             h = pff_apply(layer["fc"], h, drop_rate, training, k2)
             x = x + dropout(k3, h, drop_rate, training)  # independent of k1
         elif encoder_type == "DASALC":
-            h = mhsa_apply(layer["mhsa"], x, mask, n_heads, drop_rate, training, k0, attn_block_size, cp)
+            h = mhsa_apply(layer["mhsa"], x, mask, n_heads, drop_rate, training, k0, attn_block_size, cp, flash)
             x = layer_norm_apply(layer["ln"], h)
         elif encoder_type == "AttnDIN":
-            h = mhsa_apply(layer["mhsa"], x, mask, n_heads, drop_rate, training, k0, attn_block_size, cp)
+            h = mhsa_apply(layer["mhsa"], x, mask, n_heads, drop_rate, training, k0, attn_block_size, cp, flash)
             x = layer_norm_apply(layer["ln"], x + h)
         else:
             raise NotImplementedError(encoder_type)

@@ -124,3 +124,52 @@ def blockwise_attention(
         step, init, (k_blocks, v_blocks, m_blocks, block_keys))
     out = num / jnp.maximum(den, 1e-30)[..., None]
     return out.astype(q.dtype)
+
+
+def flash_attention(
+    q: jnp.ndarray,      # [B, H, N, d]
+    k: jnp.ndarray,      # [B, H, N, d]
+    v: jnp.ndarray,      # [B, H, N, d]
+    mask: jnp.ndarray,   # [B, N] key mask
+    block: int = 128,
+) -> jnp.ndarray:
+    """Fused Pallas flash attention for the masked MHSA (TPU only).
+
+    Unlike blockwise_attention (a lax.scan whose [*, N, block] logits slabs
+    still round-trip HBM), this runs jax's Pallas flash kernel: the scores
+    tile lives only in VMEM, softmax is online, and the custom-VJP backward
+    recomputes from (o, l, m) residuals — no [B, H, N, N] buffer in either
+    pass. Doc-padding is expressed as segment ids (padded docs get segment 0,
+    real docs 1), so real-query rows match the dense path's masked softmax;
+    fully-padded rows are finite garbage by the same contract. Attention-
+    probability dropout is not applied on this path (the matrix is never
+    materialised — same contract as the CP ring path).
+
+    Head dim is zero-padded to a 128-lane multiple (zero K columns leave
+    scores unchanged; zero V columns are sliced off), the doc axis to a
+    multiple of `block`; sm_scale uses the ORIGINAL head dim.
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, SegmentIds)
+    from jax.experimental.pallas.ops.tpu import flash_attention as _fa
+
+    B, H, N, d = q.shape
+    scale = 1.0 / float(d) ** 0.5
+    d_pad = (-d) % 128
+    n_pad = (-N) % block
+    if d_pad or n_pad:
+        pad = [(0, 0), (0, 0), (0, n_pad), (0, d_pad)]
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    if n_pad:
+        mask = jnp.pad(mask, [(0, 0), (0, n_pad)])
+    seg = mask.astype(jnp.int32)
+    bq = bk = min(block, q.shape[2])
+    sizes = BlockSizes(
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk,
+        block_q_dkv=bq, block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
+    )
+    out = _fa.flash_attention(
+        q, k, v, segment_ids=SegmentIds(q=seg, kv=seg), causal=False,
+        sm_scale=scale, block_sizes=sizes)
+    return out[:, :, :N, :d].astype(q.dtype)

@@ -60,3 +60,34 @@ def test_scorer_attn_block_size_routing():
         sb = apply_scorer(params, cfg_b, x, m, training=False)
     diff = jnp.where(m, jnp.abs(sd - sb), 0.0)
     assert float(jnp.max(diff)) < 1e-4
+
+
+def test_flash_attention_matches_dense_interpret():
+    """Pallas flash path == dense masked attention (fwd + grad), run in
+    interpret mode so it executes on the CPU test mesh."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ptranking_tpu.ops.attention import flash_attention
+
+    B, H, N, d = 2, 2, 256, 64
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(kq, (B, H, N, d))
+    k = jax.random.normal(kk, (B, H, N, d))
+    v = jax.random.normal(kv, (B, H, N, d))
+    mask = jnp.arange(N)[None, :] < jnp.array([N, 100])[:, None]
+    m4 = mask[:, None, :, None]
+
+    def dense(q):
+        logits = jnp.einsum("bhnd,bhmd->bhnm", q, k) / jnp.sqrt(float(d))
+        logits = jnp.where(mask[:, None, None, :], logits, -1e9)
+        return jnp.einsum("bhnm,bhmd->bhnd", jax.nn.softmax(logits, -1), v)
+
+    ref = dense(q)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v, mask)
+        assert float(jnp.max(jnp.abs(jnp.where(m4, out - ref, 0.0)))) < 1e-5
+        gd = jax.grad(lambda q: jnp.sum(jnp.where(m4, dense(q), 0.0) ** 2))(q)
+        gf = jax.grad(lambda q: jnp.sum(jnp.where(
+            m4, flash_attention(q, k, v, mask), 0.0) ** 2))(q)
+        rel = jnp.max(jnp.abs(gf - gd)) / jnp.max(jnp.abs(gd))
+        assert float(rel) < 1e-5
