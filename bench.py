@@ -30,11 +30,15 @@ STEPS = 20
 WARMUP = 5
 RECORDED_TORCH_CPU_LISTS_PER_S = None  # filled by --record-baseline; see below
 
-# (B, N, dtype) operating grid, ordered HEADLINE-FIRST so a tight time
-# budget still measures the point that matters; long-list points use a
-# smaller batch to fit HBM
+# (B, N, dtype[, scorer-config overrides]) operating grid, ordered
+# HEADLINE-FIRST so a tight time budget still measures the point that
+# matters; long-list points use a smaller batch to fit HBM. The override
+# points measure the round-3 variants: lane_align (128-lane trunk width)
+# and flash_attn (fused Pallas attention for the long-list regime).
 SWEEP = [
     (512, 128, "bfloat16"),    # headline / best point
+    (512, 128, "bfloat16", {"lane_align": True}),
+    (32, 1408, "bfloat16", {"flash_attn": True}),
     (128, 128, "bfloat16"),
     (2048, 128, "bfloat16"),
     (512, 128, "float32"),
@@ -100,7 +104,7 @@ def _xla_flops(compiled) -> float:
         return None
 
 
-def bench_point(B: int, N: int, dtype: str):
+def bench_point(B: int, N: int, dtype: str, overrides=None):
     """One (B, N, dtype) point: returns (lists/s, mfu) or None on OOM."""
     import jax
     import jax.numpy as jnp
@@ -110,7 +114,7 @@ def bench_point(B: int, N: int, dtype: str):
     from ptranking_tpu.train import AdhocRanker, OptimizerConfig
 
     cfg = ScorerConfig.default_listsf(num_features=F, dropout=0.1,
-                                      compute_dtype=dtype)
+                                      compute_dtype=dtype, **(overrides or {}))
     try:
         ranker = AdhocRanker(
             "LambdaRank", cfg, opt_cfg=OptimizerConfig(opt="Adagrad", lr=1e-3)
@@ -159,9 +163,12 @@ def bench_point(B: int, N: int, dtype: str):
                                         cfg.encoder_layers, F)
     device_kind = jax.devices()[0].device_kind
     mfu = (flops * steps / dt) / peak_flops(device_kind, dtype)
-    return {"B": B, "N": N, "dtype": dtype,
-            "lists_per_s": round(lists_per_s, 2),
-            "flops_per_step": flops, "mfu": round(mfu, 4)}
+    point = {"B": B, "N": N, "dtype": dtype,
+             "lists_per_s": round(lists_per_s, 2),
+             "flops_per_step": flops, "mfu": round(mfu, 4)}
+    if overrides:
+        point["variant"] = overrides
+    return point
 
 
 def bench_real_epoch() -> dict:
@@ -286,11 +293,11 @@ def main():
     t_start = time.perf_counter()
     points = []
     skipped = 0
-    for B, N, dtype in SWEEP:
+    for B, N, dtype, *rest in SWEEP:
         if points and time.perf_counter() - t_start > BUDGET_S:
             skipped += 1
             continue
-        p = bench_point(B, N, dtype)
+        p = bench_point(B, N, dtype, rest[0] if rest else None)
         if p is not None:
             points.append(p)
     assert points, "no operating point completed"
@@ -317,7 +324,7 @@ def main():
         "vs_baseline": round(vs, 2) if vs else None,
         "mfu": best["mfu"],
         "device": device_kind,
-        "best_point": {k: best[k] for k in ("B", "N", "dtype")},
+        "best_point": {k: best[k] for k in ("B", "N", "dtype", "variant") if k in best},
         "real_epoch": epoch,
         "points_skipped_for_budget": skipped,
         "points": points,
