@@ -243,6 +243,9 @@ class SFSetting:
                 encoder_type=_first(sub.get("encoder_type", "DASALC")),
                 compute_dtype=_first(sub.get("compute_dtype", "float32")),
                 lane_align=_first(sub.get("lane_align", False)),
+                flash_attn=_first(sub.get("flash_attn", False)),
+                attn_block_size=_first(sub.get("attn_block_size", None)),
+                remat=_first(sub.get("remat", False)),
             )
             opt = OptimizerConfig(opt=_first(j.get("opt", "Adagrad")), lr=_first(j.get("lr", 1e-3)))
         self.sf_para = {"scorer": cfg, "optimizer": opt}
@@ -291,6 +294,9 @@ class SFSetting:
                 encoder_type=sub.get("encoder_type", ["DASALC"]),
                 compute_dtype=sub.get("compute_dtype", ["float32"]),
                 lane_align=sub.get("lane_align", [False]),
+                flash_attn=sub.get("flash_attn", [False]),
+                attn_block_size=sub.get("attn_block_size", [None]),
+                remat=sub.get("remat", [False]),
             )
             axes = {k: _as_list(v) for k, v in axes.items()}
             ff_dims = tuple(sub.get("ff_dims", [128, 256, 512]))
