@@ -115,6 +115,37 @@ def test_reference_grid_choices():
     assert len(list(sf_dbg.grid_search(num_features=8))) == 4
 
 
+def test_listsf_perf_knobs_from_json(tmp_path):
+    """The round-3 perf knobs (lane_align, flash_attn, attn_block_size,
+    remat) are reachable from the JSON config surface on both the
+    default-setting and grid-search paths (reference analogue: every
+    listsf hyper-parameter flows through ScoringFunctionParameter,
+    parameter.py:152-290)."""
+    from ptranking_tpu.eval.settings import SFSetting
+
+    cfg = {"SFParameter": {
+        "sf_id": "listsf", "opt": ["Adagrad"], "lr": [0.001],
+        "listsf": {"encoder_layers": [2], "n_heads": [2],
+                   "ff_dims": [32, 32], "lane_align": [True],
+                   "flash_attn": [True], "attn_block_size": [64],
+                   "remat": [True]},
+    }}
+    p = tmp_path / "Data_Eval_ScoringFunction.json"
+    p.write_text(json.dumps(cfg))
+
+    sf = SFSetting(debug=True, sf_id="listsf", sf_json=str(p))
+    scorer = sf.default_setting(num_features=10)["scorer"]
+    assert (scorer.lane_align, scorer.flash_attn,
+            scorer.attn_block_size, scorer.remat) == (True, True, 64, True)
+    for para in sf.grid_search(num_features=10):
+        s = para["scorer"]
+        assert s.flash_attn and s.attn_block_size == 64 and s.remat
+    # without JSON the knobs default off (reference geometry untouched)
+    s0 = SFSetting(debug=True, sf_id="listsf").default_setting(num_features=10)["scorer"]
+    assert (s0.lane_align, s0.flash_attn, s0.attn_block_size, s0.remat) == (
+        False, False, None, False)
+
+
 def test_unknown_model_rejected():
     ev = LTREvaluator()
     with pytest.raises(AssertionError):
