@@ -83,6 +83,17 @@ def mhsa_apply(
                  batch_axis=cp.batch_axis)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, F)
         return linear_apply(p["fc"], out)
+    if flash and jax.default_backend() != "tpu":
+        # the fused Pallas kernel is TPU-only; off-TPU (CPU tests, a user
+        # JSON config run locally) degrade to the blockwise lax path, which
+        # has the same O(N*block) memory contract
+        import warnings
+
+        warnings.warn("flash_attn=True requires a TPU backend; falling back "
+                      "to blockwise attention", stacklevel=2)
+        flash = False
+        if attn_block_size is None:
+            attn_block_size = min(128, N) if N > 1 else None
     if flash:
         # fused Pallas flash kernel (TPU): scores tile never leaves VMEM.
         # Attention-prob dropout skipped by contract (see ops/attention.py).

@@ -91,3 +91,27 @@ def test_flash_attention_matches_dense_interpret():
             m4, flash_attention(q, k, v, mask), 0.0) ** 2))(q)
         rel = jnp.max(jnp.abs(gf - gd)) / jnp.max(jnp.abs(gd))
         assert float(rel) < 1e-5
+
+
+def test_flash_attn_config_falls_back_off_tpu():
+    """ScorerConfig(flash_attn=True) on a non-TPU backend degrades to the
+    blockwise lax path with a warning, matching dense at eval (the knob is
+    JSON-reachable, so a config written for TPU must still run locally)."""
+    import dataclasses
+    import warnings
+
+    from ptranking_tpu.models.scorers import (ScorerConfig, apply_scorer,
+                                              init_scorer)
+
+    cfg = ScorerConfig.default_listsf(num_features=10, ff_dims=(16, 16),
+                                      encoder_layers=2, flash_attn=True)
+    params = init_scorer(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 150, 10))
+    mask = jnp.ones((2, 150), bool).at[1, 100:].set(False)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        s = apply_scorer(params, cfg, x, mask, training=False)
+    assert any("flash_attn" in str(x.message) for x in w)
+    sd = apply_scorer(params, dataclasses.replace(cfg, flash_attn=False),
+                      x, mask, training=False)
+    assert float(jnp.max(jnp.where(mask, jnp.abs(s - sd), 0.0))) < 1e-4
