@@ -289,6 +289,9 @@ def bench_torch_cpu() -> float:
 def main():
     import jax
 
+    from ptranking_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+
     device_kind = jax.devices()[0].device_kind
     t_start = time.perf_counter()
     points = []

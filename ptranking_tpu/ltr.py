@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    from ptranking_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+
     if args.model in LTR_ADVERSARIAL_MODELS:
         from ptranking_tpu.adversarial import AdLTREvaluator
         evaluator = AdLTREvaluator()
