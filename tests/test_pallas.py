@@ -88,3 +88,29 @@ def test_sinkstep_pallas_column_tiling():
     ref = log_sinkstep(-cost / lam, _safe_log(mu), log_u)
     ours = sinkstep_pallas(cost, _safe_log(mu), log_u, lam, interpret=True, tile=tile)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_pair_kernel_no_nxn_buffer_at_16k():
+    """The Pallas pair kernel's reason to exist is memory: at N~16k the lax
+    path materializes an [B, N, N] fp32 pair matrix (dozens of GB at fp32,
+    past a 16 GB chip) while the tiled kernel keeps O(N*tile) live. Cross-
+    platform TPU export (no chip needed) machine-checks the claim: the
+    pallas program's StableHLO carries NO NxN-shaped tensor; the lax
+    program's does (docs/kernel_bench.md memory-fallback row)."""
+    from jax import export as jexport
+
+    from ptranking_tpu.losses.pairwise import ranknet
+
+    B, N = 4, 16384
+    args = (jax.ShapeDtypeStruct((B, N), jnp.float32),
+            jax.ShapeDtypeStruct((B, N), jnp.float32),
+            jax.ShapeDtypeStruct((B, N), bool))
+    txt_pallas = jexport.export(
+        jax.jit(lambda s, l, m: ranknet(s, l, m, use_pallas=True)),
+        platforms=["tpu"])(*args).mlir_module()
+    txt_lax = jexport.export(
+        jax.jit(lambda s, l, m: ranknet(s, l, m, use_pallas=False)),
+        platforms=["tpu"])(*args).mlir_module()
+    assert f"{N}x{N}" not in txt_pallas
+    assert "tpu_custom_call" in txt_pallas  # the mosaic kernel is really there
+    assert f"{N}x{N}" in txt_lax
