@@ -163,6 +163,13 @@ class EvalSetting:
             mask_type=_first(mask.get("mask_type", "rand_mask_all")),
             mask_ratio=_first(mask.get("mask_ratio", 0.2)),
         )
+        # device-resident knobs (TPU runtime, no reference analogue): on/off,
+        # HBM budget, and feature storage dtype (None=fp32 / "bfloat16" /
+        # "int8" quarter-size affine-quantized)
+        for k in ("device_resident", "device_resident_bytes",
+                  "device_resident_dtype"):
+            if k in j:
+                d[k] = _first(j[k])
         self.eval_dict = d
         return d
 

@@ -454,6 +454,13 @@ class DistributedTrainer:
         arrs = {}
         for b in res.buckets:
             f, l, m = res.bucket_arrays(b)
+            from ptranking_tpu.data.device_cache import QuantFeats, take_features
+
+            if isinstance(f, QuantFeats):
+                # int8 residency is a single-chip HBM lever; the mesh jits
+                # declare dense in_shardings, so dequantize on upload here
+                # (per-device HBM is ample once sharded/replicated)
+                f = take_features(f, jnp.arange(f.data.shape[0]))
             arrs[b] = (jax.device_put(f, f_sh), jax.device_put(l, lm_sh),
                        jax.device_put(m, lm_sh))
         cache[key] = (weakref.ref(res), arrs)

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ptranking_tpu import LTR_SEED
+from ptranking_tpu.data.device_cache import take_features
 from ptranking_tpu.losses import DEFAULT_PARAS, REQUIRES_LISTSF, STOCHASTIC, get_loss
 from ptranking_tpu.metrics.adhoc import evaluate_all_at_ks
 from ptranking_tpu.models import ScorerConfig, apply_scorer, init_scorer
@@ -178,7 +179,7 @@ class AdhocRanker:
             def body(carry, inp):
                 params, opt_state = carry
                 sub, idx = inp
-                f = jnp.take(feats_all, idx, axis=0)
+                f = take_features(feats_all, idx)
                 l = jnp.take(labels_all, idx, axis=0)
                 m = jnp.take(mask_all, idx, axis=0)
                 params, opt_state, loss = step(params, opt_state, sub, f, l, m)
@@ -240,7 +241,7 @@ class AdhocRanker:
         @functools.partial(jax.jit, static_argnums=(5,))
         def eval_gather(params, feats_all, labels_all, mask_all, idx_k, ks):
             def one(idx):
-                f = jnp.take(feats_all, idx, axis=0)
+                f = take_features(feats_all, idx)
                 l = jnp.take(labels_all, idx, axis=0)
                 m = jnp.take(mask_all, idx, axis=0)
                 return eval_sums(params, f, l, m, ks)
@@ -309,7 +310,7 @@ class AdhocRanker:
             feats_all, labels_all, mask_all = res.bucket_arrays(bucket)
             if not checked:  # NaN/zero guard once per check epoch
                 idx0 = jnp.asarray(idx_k[0])
-                f0 = jnp.take(feats_all, idx0, axis=0)
+                f0 = take_features(feats_all, idx0)
                 m0 = jnp.take(mask_all, idx0, axis=0)
                 scores = self._compiled_predict(self.params, f0, m0)
                 masked = jnp.where(m0, scores, 0.0)

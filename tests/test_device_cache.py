@@ -200,3 +200,45 @@ def test_bf16_features_keep_fp32_loss_math():
     assert s32.dtype == jnp.float32 and s16.dtype == jnp.float32
     # identical compute: the fp32 path casts to bf16 at entry anyway
     np.testing.assert_allclose(np.asarray(s32), np.asarray(s16), atol=1e-6)
+
+
+def test_int8_resident_features():
+    """int8 affine-quantized residency: quarter-size budget math, dequantized
+    fp32 batches, and training/eval through the gather-fused path landing at
+    the fp32 result (a TPU HBM/bandwidth lever, no reference analogue)."""
+    from ptranking_tpu.data.device_cache import (QuantFeats, quantize_features,
+                                                 take_features)
+
+    # roundtrip bound: |dequant - x| <= (max-min)/254/2 per feature
+    rng = np.random.RandomState(0)
+    f = rng.randn(7, 20, 5).astype(np.float32) * np.array(
+        [1, 10, 100, 0.01, 1], np.float32)
+    m = rng.rand(7, 20) > 0.3
+    qf = quantize_features(f, m)
+    assert isinstance(qf, QuantFeats) and qf.data.dtype == jnp.int8
+    deq = np.asarray(take_features(qf, jnp.arange(7)))
+    lo = np.where(m[..., None], f, np.inf).min((0, 1))
+    hi = np.where(m[..., None], f, -np.inf).max((0, 1))
+    err = np.abs(np.where(m[..., None], deq - f, 0.0))
+    assert (err <= ((hi - lo) / 508.0 + 1e-5 * np.abs(f) + 1e-6)).all()
+
+    ds = _ds()
+    assert packed_nbytes(ds, "int8") < packed_nbytes(ds) * 0.45
+    res8 = DeviceResidentDataset(ds, dtype="int8")
+    b8 = next(iter(res8.batches()))
+    assert b8.features.dtype == jnp.float32  # dequantized for consumers
+    b32 = next(iter(DeviceResidentDataset(ds).batches()))
+    diff = jnp.max(jnp.where(b8.mask[..., None],
+                             jnp.abs(b8.features - b32.features), 0.0))
+    assert float(diff) < 0.05
+
+    def run(res):
+        r = AdhocRanker("LambdaRank",
+                        ScorerConfig.default_pointsf(num_features=12),
+                        opt_cfg=OptimizerConfig(opt="Adam", lr=1e-3)).init()
+        for e in range(1, 7):
+            loss, stop = r.train_epoch_resident(res, e)
+            assert not stop and np.isfinite(loss)
+        return float(r.evaluate(res, ks=(5,))["nDCG"][0])
+
+    assert abs(run(res8) - run(DeviceResidentDataset(ds))) < 0.02

@@ -598,3 +598,17 @@ def test_cp_quadratic_fallback_warns():
     mesh = make_mesh(MeshConfig(data=1, seq=8))
     with pytest.warns(UserWarning, match="not ring-routed"):
         DistributedTrainer("SoftRank", sf, mesh, shard_docs=True)
+
+
+def test_distributed_resident_accepts_int8_dataset():
+    """An int8-quantized DeviceResidentDataset passed to DistributedTrainer
+    dequantizes on upload (the mesh jits declare dense in_shardings) and
+    trains/evaluates normally."""
+    from ptranking_tpu.data.device_cache import DeviceResidentDataset
+
+    ds, _, tr = _resident_setup(MeshConfig(data=8))
+    res8 = DeviceResidentDataset(ds, dtype="int8")
+    loss, stop = tr.train_epoch_resident(res8, 1)
+    assert not stop and np.isfinite(loss)
+    nd = tr._evaluate_resident(res8, ks=(5,))
+    assert np.isfinite(nd["nDCG"][0])
