@@ -1,0 +1,146 @@
+"""Standalone model export: serialized StableHLO scoring artifacts.
+
+    python -m ptranking_tpu.export -ckpt fold1.pkl -out model.ptx \
+        [-batch_docs 100] [-platforms cpu,tpu]
+
+`jax.export` lowers the trained scorer (params baked in as constants) to a
+versioned StableHLO artifact per padded bucket shape. The artifact is
+self-contained — serving it needs jax but NOT this framework's model code,
+survives framework upgrades (StableHLO forward compatibility), and skips
+Python-side retracing at load. The batch scoring CLI accepts artifacts
+directly (`python -m ptranking_tpu.score -ckpt model.ptx ...`).
+
+Cross-platform: `-platforms cpu,tpu` produces one artifact servable on
+either backend. No reference analogue (the reference serves nothing
+outside its evaluators); this is the TPU-deployment counterpart of a
+TorchScript/ONNX export.
+"""
+
+from __future__ import annotations
+
+import argparse
+import pickle
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+ARTIFACT_VERSION = 1
+# magic prefix distinguishes artifacts from checkpoint pickles
+MAGIC = b"PTRX"
+
+
+def export_scorer(ckpt_path: str, out_path: str, batch_docs: int = 100,
+                  buckets: Optional[Sequence[int]] = None,
+                  platforms: Optional[Sequence[str]] = None) -> Dict:
+    """Export a checkpoint's scorer to a multi-shape StableHLO artifact.
+
+    One entry per padded bucket shape (B, N) with B = max(1, batch_docs//N)
+    — exactly the shapes BucketedDataset(batch_docs=...) produces, so the
+    scoring CLI hits a compiled entry for every batch. ~100-doc batches
+    stay the default for BN-statistics parity (see score.py).
+    """
+    import jax
+    from jax import export as jexport
+
+    from ptranking_tpu.data.dataset import DEFAULT_BUCKETS
+    from ptranking_tpu.models import apply_scorer
+    from ptranking_tpu.train import AdhocRanker
+
+    ranker = AdhocRanker.from_checkpoint(ckpt_path)
+    params, cfg = ranker.params, ranker.scorer_cfg
+    F = cfg.num_features
+
+    def predict(feats, mask):
+        return apply_scorer(params, cfg, feats, mask, training=False)
+
+    plats = list(platforms) if platforms else None
+    entries: Dict[Tuple[int, int], bytes] = {}
+    for n in (buckets or DEFAULT_BUCKETS):
+        # same rounding as BucketedDataset.batch_size_for — the artifact
+        # must hit a compiled entry for every shape the scorer CLI produces
+        B = max(1, round(batch_docs / n))
+        args = (jax.ShapeDtypeStruct((B, n, F), np.float32),
+                jax.ShapeDtypeStruct((B, n), np.bool_))
+        exp = jexport.export(jax.jit(predict), platforms=plats)(*args)
+        entries[(B, n)] = exp.serialize()
+
+    blob = {
+        "version": ARTIFACT_VERSION,
+        "num_features": F,
+        "batch_docs": batch_docs,
+        "model_id": ranker.model_id,
+        "platforms": plats or [jax.default_backend()],
+        "entries": entries,
+    }
+    with open(out_path, "wb") as f:
+        f.write(MAGIC)
+        pickle.dump(blob, f, protocol=pickle.HIGHEST_PROTOCOL)
+    return blob
+
+
+def is_artifact(path: str) -> bool:
+    with open(path, "rb") as f:
+        return f.read(len(MAGIC)) == MAGIC
+
+
+class ExportedScorer:
+    """Serve a .ptx artifact: `predict(features [B,N,F], mask [B,N])` ->
+    scores [B,N]. Deserializes each shape's program lazily and caches it.
+    Duck-types the slice of AdhocRanker that score.py uses."""
+
+    def __init__(self, path: str):
+        with open(path, "rb") as f:
+            assert f.read(len(MAGIC)) == MAGIC, f"{path} is not an artifact"
+            self._blob = pickle.load(f)
+        assert self._blob["version"] <= ARTIFACT_VERSION
+        self.num_features = self._blob["num_features"]
+        self.batch_docs = self._blob["batch_docs"]
+        self.model_id = self._blob["model_id"]
+        self._fns = {}
+
+    def _fn(self, shape: Tuple[int, int]):
+        fn = self._fns.get(shape)
+        if fn is None:
+            from jax import export as jexport
+
+            blob = self._blob["entries"].get(shape)
+            if blob is None:
+                raise KeyError(
+                    f"no exported entry for batch shape {shape}; artifact has "
+                    f"{sorted(self._blob['entries'])} (re-export with matching "
+                    f"-batch_docs, or score with -batch_docs "
+                    f"{self.batch_docs})")
+            fn = self._fns[shape] = jexport.deserialize(bytearray(blob)).call
+        return fn
+
+    def predict(self, batch):
+        import jax.numpy as jnp
+
+        f = jnp.asarray(batch.features, jnp.float32)
+        m = jnp.asarray(batch.mask)
+        return self._fn((f.shape[0], f.shape[1]))(f, m)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("ptranking_tpu.export")
+    p.add_argument("-ckpt", required=True, help="self-describing checkpoint (.pkl)")
+    p.add_argument("-out", required=True, help="artifact path to write (.ptx)")
+    p.add_argument("-batch_docs", type=int, default=100)
+    p.add_argument("-platforms", default=None,
+                   help="comma list, e.g. cpu,tpu (default: current backend)")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    plats = args.platforms.split(",") if args.platforms else None
+    blob = export_scorer(args.ckpt, args.out, batch_docs=args.batch_docs,
+                         platforms=plats)
+    print(f"exported {len(blob['entries'])} shapes "
+          f"({blob['model_id']}, F={blob['num_features']}, "
+          f"platforms={blob['platforms']}) -> {args.out}")
+    return blob
+
+
+if __name__ == "__main__":
+    main()

@@ -34,9 +34,13 @@ def score_file(ckpt: str, in_path: str, out_path: str, data_id: str = "GLTR_LETO
                runid: str = "ptranking_tpu", batch_docs: int = 100) -> int:
     from ptranking_tpu.data.dataset import BucketedDataset
     from ptranking_tpu.data.letor import load_letor_file
+    from ptranking_tpu.export import ExportedScorer, is_artifact
     from ptranking_tpu.train import AdhocRanker
 
-    ranker = AdhocRanker.from_checkpoint(ckpt)
+    # a .ptx StableHLO artifact (ptranking_tpu.export) serves directly —
+    # no model code or retracing; otherwise a self-describing checkpoint
+    ranker = (ExportedScorer(ckpt) if is_artifact(ckpt)
+              else AdhocRanker.from_checkpoint(ckpt))
     queries = load_letor_file(in_path, data_id=data_id, min_docs=1, min_rele=0,
                               presort=False)
     ds = BucketedDataset(queries, batch_docs=batch_docs)

@@ -2,6 +2,8 @@
 
 import os
 
+import pytest
+
 import numpy as np
 
 from ptranking_tpu.data.dataset import BucketedDataset, make_synthetic_queries
@@ -50,3 +52,40 @@ def test_score_file_writes_trec_run(tmp_path):
         seen.setdefault(qid, []).append(int(rank))
     for qid, ranks in seen.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_export_artifact_matches_checkpoint_scoring(tmp_path):
+    """A .ptx StableHLO artifact (ptranking_tpu.export) scores a LETOR file
+    byte-identically to the checkpoint it was exported from, and raises a
+    clear error for an un-exported batch shape."""
+    import jax.numpy as jnp
+
+    from ptranking_tpu.export import ExportedScorer, export_scorer, is_artifact
+    from ptranking_tpu.score import score_file
+
+    r, qs, ds, ck = _trained_ranker(tmp_path)
+    letor = str(tmp_path / "in.txt")
+    with open(letor, "w") as f:
+        for qid, feats, labels in qs:
+            for x, y in zip(feats, labels):
+                row = " ".join(f"{i+1}:{v:.5f}" for i, v in enumerate(x))
+                f.write(f"{int(y)} qid:{qid} {row}\n")
+
+    art = str(tmp_path / "m.ptx")
+    export_scorer(ck, art, batch_docs=100)
+    assert is_artifact(art) and not is_artifact(ck)
+
+    out_ck = str(tmp_path / "run_ck.txt")
+    out_art = str(tmp_path / "run_art.txt")
+    n1 = score_file(ck, letor, out_ck, data_id="GLTR_LETOR")
+    n2 = score_file(art, letor, out_art, data_id="GLTR_LETOR")
+    assert n1 == n2 and open(out_ck).read() == open(out_art).read()
+
+    es = ExportedScorer(art)
+
+    class Odd:
+        features = jnp.ones((99, 7, es.num_features))
+        mask = jnp.ones((99, 7), bool)
+
+    with pytest.raises(KeyError, match="no exported entry"):
+        es.predict(Odd())
