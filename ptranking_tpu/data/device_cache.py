@@ -54,6 +54,12 @@ def quantize_features(feats: np.ndarray, mask: np.ndarray) -> QuantFeats:
     return QuantFeats(jnp.asarray(q), jnp.asarray(scale), jnp.asarray(offset))
 
 
+def _n_rows(feats) -> int:
+    """Row count (incl. the sentinel) of resident features — dense array or
+    QuantFeats."""
+    return (feats.data if isinstance(feats, QuantFeats) else feats).shape[0]
+
+
 def take_features(feats, idx):
     """Gather batch rows from resident features — dense array or QuantFeats
     (gather int8, dequantize to fp32 in-program; the scorer casts to its
@@ -139,9 +145,7 @@ class DeviceResidentDataset:
         rng = np.random.RandomState(self.ds.seed + epoch)
         for b in self._dev:
             feats, labels, mask, qids = self._dev[b]
-            n_rows = (feats.data if isinstance(feats, QuantFeats)
-                      else feats).shape[0]
-            sentinel = n_rows - 1  # the all-masked pad row
+            sentinel = _n_rows(feats) - 1  # the all-masked pad row
             Q = sentinel
             B = self.batch_size_for(b)
             idx = rng.permutation(Q) if (shuffle or percent) else np.arange(Q)
@@ -182,8 +186,7 @@ class DeviceResidentDataset:
         rng = np.random.RandomState(self.ds.seed + epoch)
         for b in self._dev:
             feats, _, _, qids = self._dev[b]
-            Q = (feats.data if isinstance(feats, QuantFeats)
-                 else feats).shape[0] - 1
+            Q = _n_rows(feats) - 1
             B = self.batch_size_for(b)
             idx = rng.permutation(Q) if shuffle else np.arange(Q)
             n_full = Q // B

@@ -195,9 +195,14 @@ class EvalSetting:
     def to_eval_setting_string(self, log=False) -> str:
         d = self.eval_dict
         s1 = ":" if log else "_"
-        if d["do_validation"]:
-            return s1.join(["EP", str(d["epochs"]), "V", f"{d['vali_metric']}@{d['vali_k']}"])
-        return s1.join(["epochs", str(d["epochs"])])
+        parts = (["EP", str(d["epochs"]), "V", f"{d['vali_metric']}@{d['vali_k']}"]
+                 if d["do_validation"] else ["epochs", str(d["epochs"])])
+        # the run-dir name must encode every result-changing setting: an
+        # explicit resident feature dtype alters training numerics, so fp32
+        # and bf16/int8 runs must not share an output directory
+        if d.get("device_resident_dtype"):
+            parts += ["R" + str(d["device_resident_dtype"])]
+        return s1.join(parts)
 
 
 # ----------------------------------------------------------------- scorer
@@ -327,6 +332,8 @@ class SFSetting:
             parts.append(f"{cfg.encoder_type}E{cfg.encoder_layers}H{cfg.n_heads}")
             if cfg.lane_align:
                 parts.append(f"Lane{cfg.width}")
+            if cfg.compute_dtype != "float32":  # result-changing: own run dir
+                parts.append(str(cfg.compute_dtype))
         return "_".join(parts)
 
 

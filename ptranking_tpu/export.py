@@ -31,13 +31,16 @@ MAGIC = b"PTRX"
 
 def export_scorer(ckpt_path: str, out_path: str, batch_docs: int = 100,
                   buckets: Optional[Sequence[int]] = None,
-                  platforms: Optional[Sequence[str]] = None) -> Dict:
+                  platforms: Optional[Sequence[str]] = None,
+                  max_docs: Optional[int] = None) -> Dict:
     """Export a checkpoint's scorer to a multi-shape StableHLO artifact.
 
-    One entry per padded bucket shape (B, N) with B = max(1, batch_docs//N)
-    — exactly the shapes BucketedDataset(batch_docs=...) produces, so the
-    scoring CLI hits a compiled entry for every batch. ~100-doc batches
-    stay the default for BN-statistics parity (see score.py).
+    One entry per padded bucket shape (B, N) with the same B-per-bucket
+    rounding as BucketedDataset(batch_docs=...), so the scoring CLI hits a
+    compiled entry for every batch. ~100-doc batches stay the default for
+    BN-statistics parity (see score.py). Datasets with lists longer than
+    DEFAULT_BUCKETS' 1536 cap get extra doubled buckets (3072, 6144, ...)
+    exactly like pick_buckets — pass `max_docs` to cover them.
     """
     import jax
     from jax import export as jexport
@@ -54,8 +57,13 @@ def export_scorer(ckpt_path: str, out_path: str, batch_docs: int = 100,
         return apply_scorer(params, cfg, feats, mask, training=False)
 
     plats = list(platforms) if platforms else None
+    bucket_list = sorted(buckets or DEFAULT_BUCKETS)
+    # mirror pick_buckets' doubling past the largest bucket so very long
+    # lists (Istella-class) hit a compiled entry too
+    while max_docs is not None and bucket_list[-1] < max_docs:
+        bucket_list.append(bucket_list[-1] * 2)
     entries: Dict[Tuple[int, int], bytes] = {}
-    for n in (buckets or DEFAULT_BUCKETS):
+    for n in bucket_list:
         # same rounding as BucketedDataset.batch_size_for — the artifact
         # must hit a compiled entry for every shape the scorer CLI produces
         B = max(1, round(batch_docs / n))
@@ -107,9 +115,10 @@ class ExportedScorer:
             if blob is None:
                 raise KeyError(
                     f"no exported entry for batch shape {shape}; artifact has "
-                    f"{sorted(self._blob['entries'])} (re-export with matching "
-                    f"-batch_docs, or score with -batch_docs "
-                    f"{self.batch_docs})")
+                    f"{sorted(self._blob['entries'])}. Score with -batch_docs "
+                    f"{self.batch_docs}, or re-export with matching "
+                    f"-batch_docs / a larger -max_docs (lists longer than the "
+                    f"largest exported bucket need extra doubled buckets)")
             fn = self._fns[shape] = jexport.deserialize(bytearray(blob)).call
         return fn
 
@@ -126,6 +135,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-ckpt", required=True, help="self-describing checkpoint (.pkl)")
     p.add_argument("-out", required=True, help="artifact path to write (.ptx)")
     p.add_argument("-batch_docs", type=int, default=100)
+    p.add_argument("-max_docs", type=int, default=None,
+                   help="longest list to serve; adds doubled buckets past "
+                        "1536 like the dataset's pick_buckets")
     p.add_argument("-platforms", default=None,
                    help="comma list, e.g. cpu,tpu (default: current backend)")
     return p
@@ -135,7 +147,7 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     plats = args.platforms.split(",") if args.platforms else None
     blob = export_scorer(args.ckpt, args.out, batch_docs=args.batch_docs,
-                         platforms=plats)
+                         platforms=plats, max_docs=args.max_docs)
     print(f"exported {len(blob['entries'])} shapes "
           f"({blob['model_id']}, F={blob['num_features']}, "
           f"platforms={blob['platforms']}) -> {args.out}")

@@ -83,10 +83,11 @@ def mhsa_apply(
                  batch_axis=cp.batch_axis)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, F)
         return linear_apply(p["fc"], out)
-    if flash and jax.default_backend() != "tpu":
+    if flash and jax.default_backend() not in ("tpu", "axon"):
         # the fused Pallas kernel is TPU-only; off-TPU (CPU tests, a user
         # JSON config run locally) degrade to the blockwise lax path, which
-        # has the same O(N*block) memory contract
+        # has the same O(N*block) memory contract. "axon" is this project's
+        # remote-TPU PJRT platform name (canonicalized to tpu for lowering)
         import warnings
 
         warnings.warn("flash_attn=True requires a TPU backend; falling back "

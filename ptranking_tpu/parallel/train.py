@@ -450,17 +450,19 @@ class DistributedTrainer:
         hit = cache.get(key)
         if hit is not None and hit[0]() is res:
             return hit[1]
+        from ptranking_tpu.data.device_cache import QuantFeats
+
         f_sh, lm_sh = self._resident_shardings()
         arrs = {}
         for b in res.buckets:
             f, l, m = res.bucket_arrays(b)
-            from ptranking_tpu.data.device_cache import QuantFeats, take_features
-
             if isinstance(f, QuantFeats):
                 # int8 residency is a single-chip HBM lever; the mesh jits
-                # declare dense in_shardings, so dequantize on upload here
-                # (per-device HBM is ample once sharded/replicated)
-                f = take_features(f, jnp.arange(f.data.shape[0]))
+                # declare dense in_shardings, so dequantize on upload — on
+                # the HOST, so no chip ever holds the full fp32 bucket
+                # unsharded (device_put then ships each device its shard)
+                f = (np.asarray(f.data).astype(np.float32)
+                     * np.asarray(f.scale) + np.asarray(f.offset))
             arrs[b] = (jax.device_put(f, f_sh), jax.device_put(l, lm_sh),
                        jax.device_put(m, lm_sh))
         cache[key] = (weakref.ref(res), arrs)
