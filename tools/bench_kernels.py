@@ -134,11 +134,51 @@ def bench_sinkhorn(points):
     return rows
 
 
+def bench_memcap(B=32, N=16384):
+    """The Pallas pair kernel's raison d'être: a shape where the lax path's
+    [B, N, N] fp32 pair matrix (B*N*N*4 bytes — 32 GB at the default shape)
+    cannot fit chip HBM. Runs BOTH paths once (inner=1: one kernel app per
+    dispatch — this shape is compute-dominated, no need to amortize) and
+    records who survives and how fast. TPU-only; expect lax to fail with a
+    RESOURCE_EXHAUSTED compile/alloc error."""
+    import jax
+    import jax.numpy as jnp
+
+    from ptranking_tpu.losses.listwise import lambda_rank
+    from ptranking_tpu.ops.pallas import lambda_rank_pallas
+
+    ks, kl = jax.random.split(jax.random.PRNGKey(0))
+    scores = jax.random.normal(ks, (B, N))
+    labels = jnp.sort(jax.random.randint(kl, (B, N), 0, 5).astype(jnp.float32),
+                      axis=1)[:, ::-1]
+    mask = jnp.ones((B, N), bool)
+    rows = []
+    for name, fn in (("lambda_rank_lax", lambda_rank),
+                     ("lambda_rank_pallas", lambda_rank_pallas)):
+        vg = jax.value_and_grad(lambda s: fn(s, labels, mask))
+        try:
+            t = _timed(_loop_vg(vg, k=1), scores, steps=2, inner=1)
+            rows.append(dict(kernel=name, B=B, N=N, us=t * 1e6, ok=True))
+        except Exception as exc:
+            rows.append(dict(kernel=name, B=B, N=N, ok=False,
+                             error=f"{type(exc).__name__}: {str(exc)[:120]}"))
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", action="store_true", help="emit JSON rows only")
+    ap.add_argument("--memcap", action="store_true",
+                    help="run ONLY the memory-capped pair-loss shape "
+                         "(B=32, N=16384 fp32: the lax [B,N,N] needs 32 GB; "
+                         "the Pallas kernel should be the survivor)")
     args = ap.parse_args()
     import jax
+
+    if args.memcap:
+        rows = bench_memcap()
+        print(json.dumps({"device": jax.devices()[0].device_kind, "rows": rows}))
+        return
 
     pair_points = [(32, 128), (128, 128), (512, 128), (32, 512),
                    (128, 512), (8, 1408), (32, 1408)]
