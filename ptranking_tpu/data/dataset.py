@@ -82,8 +82,15 @@ class BucketedDataset:
                 n = len(l)
                 # sparse LibSVM parses auto-grow width to the max SEEN feature
                 # id, which can fall short of the declared num_features —
-                # absent trailing columns stay 0 (the LibSVM missing value)
-                w = min(f.shape[1], self.num_features)
+                # absent trailing columns stay 0 (the LibSVM missing value).
+                # WIDER than declared is a misdeclared config: fail loudly
+                # rather than silently truncating features
+                if f.shape[1] > self.num_features:
+                    raise ValueError(
+                        f"query has feature id {f.shape[1]} > declared "
+                        f"num_features={self.num_features}; fix the data "
+                        f"meta / JSON num_features")
+                w = f.shape[1]
                 feats[i, :n, :w] = f[:, :w]
                 labels[i, :n] = l
                 mask[i, :n] = True

@@ -34,13 +34,11 @@ DIV_MODELS = ["DALETOR", "DivProbRanker"]
 
 def _reduce_div_rows(packed_rows, K: int) -> Dict[str, np.ndarray]:
     """Sum packed [3K+1] (aNDCG, ERR-IA, nERR-IA, count) rows on DEVICE and
-    fetch once (same RPC-storm fix as train/ranker.py _reduce_packed_rows)."""
-    names = ("aNDCG", "ERR-IA", "nERR-IA")
-    if not packed_rows:
-        return {m: np.zeros(K) for m in names}
-    total = np.asarray(jnp.sum(jnp.stack(packed_rows), axis=0))
-    count = max(float(total[3 * K]), 1.0)
-    return {m: total[i * K:(i + 1) * K] / count for i, m in enumerate(names)}
+    fetch once — the shared reducer with the div metric names."""
+    from ptranking_tpu.train.ranker import _reduce_packed_rows
+
+    return _reduce_packed_rows(packed_rows, K,
+                               names=("aNDCG", "ERR-IA", "nERR-IA"))
 
 
 class DivRanker:

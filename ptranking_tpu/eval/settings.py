@@ -334,6 +334,8 @@ class SFSetting:
                 parts.append(f"Lane{cfg.width}")
             if cfg.compute_dtype != "float32":  # result-changing: own run dir
                 parts.append(str(cfg.compute_dtype))
+            if cfg.flash_attn:  # result-changing under dropout (attention-
+                parts.append("Flash")  # prob dropout is skipped on this path)
         return "_".join(parts)
 
 

@@ -131,7 +131,13 @@ def pipeline_encoder_apply(
         lambda a: a.reshape((num_stages, per_stage) + a.shape[1:]), stacked)
 
     B = x.shape[0]
-    assert B % num_microbatches == 0
+    # microbatch count must divide B; clamp to the largest divisor <= the
+    # request so arbitrary eval batch shapes (B=6, 3, 1 at ~100-doc buckets)
+    # work instead of tripping an assert — fewer microbatches only means
+    # less pipelining, never a wrong result
+    num_microbatches = min(num_microbatches, B)
+    while B % num_microbatches:
+        num_microbatches -= 1
     xs = x.reshape((num_microbatches, B // num_microbatches) + x.shape[1:])
     ms = mask.reshape((num_microbatches, B // num_microbatches) + mask.shape[1:])
 

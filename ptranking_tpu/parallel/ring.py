@@ -196,13 +196,7 @@ def ring_lambda_loss(
         acc = jax.lax.scan(step, init, jnp.arange(P_))[0][-1]
         # total over the pair space AND, when the batch is data-sharded, over
         # the batch shards — every device then holds the identical scalar
-        if batch_axis is None:
-            axes = (axis_name,)
-        elif isinstance(batch_axis, (tuple, list)):
-            axes = (axis_name, *batch_axis)
-        else:
-            axes = (axis_name, batch_axis)
-        return jax.lax.psum(acc, axes)[None]
+        return jax.lax.psum(acc, _loss_psum_axes(axis_name, batch_axis))[None]
 
     spec = P(batch_axis, axis_name)
     out = shard_map(
@@ -232,7 +226,8 @@ def ring_lambdaloss(
     k: int = 5,
     sigma: float = 1.0,
     mu: float = 5.0,
-    eps: float = 1e-12,
+    eps: float = 1e-8,  # EPSILON — MUST match the dense lambda_loss clip
+    # (losses/listwise.py) or CP loss/grad saturation behavior diverges
     axis_name: str = "seq",
     batch_axis: Optional[str] = None,
 ) -> jnp.ndarray:

@@ -446,10 +446,16 @@ class DistributedTrainer:
         cache = getattr(self, "_res_cache", None)
         if cache is None:
             cache = self._res_cache = {}
+        # evict entries whose dataset died, or whose id() was reused by a
+        # NEW dataset — otherwise the sharded arrays stay pinned in HBM for
+        # the trainer's lifetime
+        for k in [k for k, v in cache.items() if v[0]() is None]:
+            del cache[k]
         key = id(res)
         hit = cache.get(key)
         if hit is not None and hit[0]() is res:
             return hit[1]
+        cache.pop(key, None)  # id reuse by a different object
         from ptranking_tpu.data.device_cache import QuantFeats
 
         f_sh, lm_sh = self._resident_shardings()

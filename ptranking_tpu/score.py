@@ -74,7 +74,9 @@ def _docids_by_qid(in_path: str, data_id: str):
 
     try:
         has_comment = get_data_meta(data_id).has_comment
-    except NotImplementedError:
+    except (NotImplementedError, ValueError):
+        # generic GLTR ids raise ValueError without a JSON data section
+        # (meta.py); scoring proceeds with has_comment=False
         has_comment = False
     if not has_comment:
         return {}

@@ -52,18 +52,20 @@ def _freeze(v):
     return v
 
 
-def _reduce_packed_rows(packed_rows, K: int) -> Dict[str, np.ndarray]:
-    """Sum packed [4K+1] metric rows on DEVICE, fetch once, unpack on host.
+def _reduce_packed_rows(packed_rows, K: int,
+                        names=("nDCG", "nERR", "AP", "P")) -> Dict[str, np.ndarray]:
+    """Sum packed [len(names)*K+1] metric rows on DEVICE, fetch once, unpack
+    on host (the trailing slot is the real-query count).
 
-    The whole dataset's evaluation reaches the host as a single 4K+1-float
+    The whole dataset's evaluation reaches the host as a single float-vector
     transfer — on a remote-attached chip per-buffer fetch RPCs (not metric
-    compute) dominated evaluation before this (VERDICT r2 weak #1).
+    compute) dominated evaluation before this (VERDICT r2 weak #1). The
+    diversification branch reuses it with its own names tuple.
     """
-    names = ("nDCG", "nERR", "AP", "P")
     if not packed_rows:
         return {m: np.zeros(K) for m in names}
     total = np.asarray(jnp.sum(jnp.stack(packed_rows), axis=0))
-    count = float(total[4 * K])
+    count = float(total[len(names) * K])
     if count == 0:
         return {m: np.zeros(K) for m in names}
     return {m: total[i * K:(i + 1) * K] / count for i, m in enumerate(names)}

@@ -42,7 +42,9 @@ class TreeDataSetting:
         self.data_dict: Dict[str, Any] = {}
 
     def default_setting(self) -> Dict[str, Any]:
-        meta = get_data_meta(self.data_id)
+        # thread the JSON data section so generic GLTR ids resolve their
+        # meta (num_features etc.) here too — same as eval/settings.py
+        meta = get_data_meta(self.data_id, json_dict=self.json_dict)
         scale_data, scaler_id, scaler_level = get_scaler_setting(self.data_id)
         j = self.json_dict
         d = dict(

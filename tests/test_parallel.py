@@ -612,3 +612,68 @@ def test_distributed_resident_accepts_int8_dataset():
     assert not stop and np.isfinite(loss)
     nd = tr._evaluate_resident(res8, ks=(5,))
     assert np.isfinite(nd["nDCG"][0])
+
+
+def test_ring_lambdaloss_matches_dense_at_saturation():
+    """The ring eps must equal the dense EPSILON (1e-8): at saturated score
+    gaps (sigmoid < 1e-8 and w*log2(p) below the clamp floor) a smaller ring
+    eps keeps clamped pair terms live and diverges loss AND gradients from
+    the dense path (review finding, round 3)."""
+    from ptranking_tpu.losses.listwise import lambda_loss
+    from ptranking_tpu.ops import gain as label_gain
+    from ptranking_tpu.ops.sorting import sort_labels_by_scores
+    from ptranking_tpu.parallel.ring import ring_lambdaloss
+    from ptranking_tpu.types import LabelType
+
+    mesh = make_mesh(MeshConfig(seq=8))
+    B, N = 2, 16
+    key = jax.random.PRNGKey(3)
+    # gaps of ~30 saturate sigmoid (sigmoid(-30) ~ 9e-14 << 1e-8)
+    scores = jax.random.normal(key, (B, N)) * 30.0
+    # ideal-ordered labels (the trainer presorts; _full_dcg assumes it)
+    labels = jnp.sort(
+        jax.random.randint(key, (B, N), 0, 4).astype(jnp.float32), 1)[:, ::-1]
+    mask = jnp.ones((B, N), bool)
+
+    def rowwise_idcg(labels, mask):  # mirrors parallel/train.py:180
+        gains = label_gain(jnp.where(mask, labels, 0.0), LabelType.MultiLabel)
+        discounts = 1.0 / jnp.log2(jnp.arange(N, dtype=labels.dtype) + 2.0)
+        return jnp.maximum(
+            jnp.sum(gains * discounts * mask, axis=-1, keepdims=True), 1e-12)
+
+    def ring(s):
+        s_sorted, l_sorted, m_sorted = sort_labels_by_scores(s, labels, mask)
+        idcg = rowwise_idcg(labels, mask)
+        gains = label_gain(jnp.where(m_sorted, l_sorted, 0.0), LabelType.MultiLabel)
+        n_gains = jnp.where(m_sorted, gains / idcg, 0.0)
+        return ring_lambdaloss(s_sorted, l_sorted, n_gains, m_sorted, mesh,
+                               loss_type="NDCG_Loss2", k=10, sigma=1.0)
+
+    def dense(s):
+        return lambda_loss(s, labels, mask, loss_type="NDCG_Loss2", k=10,
+                           sigma=1.0)
+
+    v_r, g_r = jax.value_and_grad(lambda s: jnp.sum(ring(s)))(scores)
+    v_d, g_d = jax.value_and_grad(lambda s: jnp.sum(dense(s)))(scores)
+    np.testing.assert_allclose(float(v_r), float(v_d), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_r), np.asarray(g_d),
+                               rtol=1e-4, atol=1e-7)
+
+
+def test_pipeline_microbatches_clamp_to_batch():
+    """pp_stages predict works at batch sizes not divisible by the default
+    4 microbatches (B=6, 3, 1 arise at ~100-doc eval buckets)."""
+    from ptranking_tpu.parallel.pipeline import pipeline_encoder_apply
+    from ptranking_tpu.models.scorers import listsf as _listsf
+
+    mesh = make_mesh(MeshConfig(model=2))
+    key = jax.random.PRNGKey(0)
+    params = _listsf.encoder_init(key, 8, 2, "DASALC")
+    for B in (6, 3, 1):
+        x = jax.random.normal(key, (B, 5, 8))
+        mask = jnp.ones((B, 5), bool).at[0, 3:].set(False)
+        out = pipeline_encoder_apply(params, x, mask, 2, "DASALC", mesh)
+        ref = _listsf.encoder_apply(params, x, mask, 2, "DASALC",
+                                    drop_rate=0.0, training=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
