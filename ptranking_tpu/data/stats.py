@@ -63,9 +63,12 @@ def main(argv=None):
         from ptranking_tpu.data import make_synthetic_queries
         from ptranking_tpu.data.meta import get_data_meta
 
-        meta = get_data_meta(args.data_id)
+        try:
+            num_features = get_data_meta(args.data_id).num_features
+        except (NotImplementedError, ValueError):
+            num_features = 46  # generic GLTR ids carry no meta; MQ-like default
         queries = make_synthetic_queries(num_queries=200,
-                                         num_features=meta.num_features, seed=7)
+                                         num_features=num_features, seed=7)
         title = f"{args.data_id} (synthetic)"
     else:
         from ptranking_tpu.data import load_letor_file
