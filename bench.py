@@ -171,10 +171,12 @@ def bench_point(B: int, N: int, dtype: str, overrides=None):
     return point
 
 
-def bench_real_epoch() -> dict:
+def bench_real_epoch(resident_dtype=None) -> dict:
     """Realistic end-to-end training epoch: ragged lists, bucketed batches,
     the device-resident gather-fused path (the evaluator default). This is
-    the number a real run sees, dispatch and data movement included."""
+    the number a real run sees, dispatch and data movement included.
+    resident_dtype="int8" measures the quantized-residency variant (4x less
+    gather bandwidth)."""
     import time as _time
 
     from ptranking_tpu.data.dataset import make_synthetic_queries, BucketedDataset
@@ -185,7 +187,7 @@ def bench_real_epoch() -> dict:
     qs = make_synthetic_queries(num_queries=2000, num_features=F, seed=3,
                                 min_docs=20, max_docs=250)
     ds = BucketedDataset(qs, batch_docs=512)
-    res = DeviceResidentDataset(ds)
+    res = DeviceResidentDataset(ds, dtype=resident_dtype)
     cfg = ScorerConfig.default_listsf(num_features=F, dropout=0.1,
                                       compute_dtype="bfloat16")
     r = AdhocRanker("LambdaRank", cfg,
@@ -319,6 +321,13 @@ def main():
             epoch = bench_real_epoch()
     except Exception as exc:
         epoch = {"error": type(exc).__name__}
+    try:
+        if time.perf_counter() - t_start > 1.8 * BUDGET_S:
+            epoch_int8 = {"skipped": "budget"}
+        else:
+            epoch_int8 = bench_real_epoch(resident_dtype="int8")
+    except Exception as exc:
+        epoch_int8 = {"error": type(exc).__name__}
     vs = (best["lists_per_s"] / baseline) if baseline else None
     print(json.dumps({
         "metric": "lists/s/chip (WEB30K-shape LambdaRank + DASALC listsf)",
@@ -329,6 +338,7 @@ def main():
         "device": device_kind,
         "best_point": {k: best[k] for k in ("B", "N", "dtype", "variant") if k in best},
         "real_epoch": epoch,
+        "real_epoch_int8": epoch_int8,
         "points_skipped_for_budget": skipped,
         "points": points,
     }), flush=True)
