@@ -46,8 +46,19 @@ def quantize_features(feats: np.ndarray, mask: np.ndarray) -> QuantFeats:
     big = np.float32(np.inf)
     lo = np.where(real, feats, big).min(axis=(0, 1)).astype(np.float32)
     hi = np.where(real, feats, -big).max(axis=(0, 1)).astype(np.float32)
-    lo = np.where(np.isfinite(lo), lo, 0.0)
-    hi = np.where(np.isfinite(hi), hi, 0.0)
+    if np.asarray(mask).any():
+        # a non-finite hi/lo means a real feature value is inf/NaN —
+        # quantizing would silently destroy the whole column (fp32 residency
+        # would at least trip the NaN stop guard), so fail loudly instead
+        bad = ~(np.isfinite(lo) & np.isfinite(hi))
+        if bad.any():
+            raise ValueError(
+                f"int8 residency: feature columns "
+                f"{np.nonzero(bad)[0].tolist()} contain non-finite values; "
+                "clean the data or use fp32/bf16 device_resident_dtype")
+    else:  # no real entries at all: quantize the zeros trivially
+        lo = np.zeros_like(lo)
+        hi = np.zeros_like(hi)
     scale = np.maximum(hi - lo, 1e-12) / 254.0
     offset = (hi + lo) / 2.0
     q = np.clip(np.rint((feats - offset) / scale), -127, 127).astype(np.int8)
@@ -70,6 +81,16 @@ def take_features(feats, idx):
         q = jnp.take(feats.data, idx, axis=0)
         return q.astype(jnp.float32) * feats.scale + feats.offset
     return jnp.take(feats, idx, axis=0)
+
+
+def padded_host_arrays(ds: BucketedDataset, bucket: int):
+    """One bucket's packed HOST arrays with the all-masked sentinel row
+    appended (index Q) — the exact layout the resident paths gather from."""
+    feats, labels, mask, _ = ds._packed[bucket]
+    f = np.concatenate([feats, np.zeros_like(feats[:1])], axis=0)
+    l = np.concatenate([labels, np.zeros_like(labels[:1])], axis=0)
+    m = np.concatenate([mask, np.zeros_like(mask[:1])], axis=0)
+    return f, l, m
 
 
 def packed_nbytes(ds: BucketedDataset, dtype=None) -> int:
@@ -101,11 +122,9 @@ class DeviceResidentDataset:
         self.buckets = ds.buckets
         self.batch_docs = ds.batch_docs
         self._dev = {}
-        for b, (feats, labels, mask, qids) in ds._packed.items():
+        for b, (_, _, _, qids) in ds._packed.items():
             # one sentinel all-masked row at index Q for padded remainders
-            f = np.concatenate([feats, np.zeros_like(feats[:1])], axis=0)
-            l = np.concatenate([labels, np.zeros_like(labels[:1])], axis=0)
-            m = np.concatenate([mask, np.zeros_like(mask[:1])], axis=0)
+            f, l, m = padded_host_arrays(ds, b)
             if str(dtype) == "int8":
                 # affine per-feature int8: quarter the fp32 bytes (and
                 # gather bandwidth); dequant fuses into the compiled step

@@ -56,28 +56,35 @@ def export_scorer(ckpt_path: str, out_path: str, batch_docs: int = 100,
     def predict(feats, mask):
         return apply_scorer(params, cfg, feats, mask, training=False)
 
-    plats = list(platforms) if platforms else None
+    plats = list(platforms) if platforms else [jax.default_backend()]
+    # "axon" is this project's remote-TPU PJRT platform; its programs ARE
+    # tpu programs (lowering canonicalizes axon -> tpu)
+    plats = ["tpu" if p == "axon" else p for p in plats]
     bucket_list = sorted(buckets or DEFAULT_BUCKETS)
     # mirror pick_buckets' doubling past the largest bucket so very long
     # lists (Istella-class) hit a compiled entry too
     while max_docs is not None and bucket_list[-1] < max_docs:
         bucket_list.append(bucket_list[-1] * 2)
-    entries: Dict[Tuple[int, int], bytes] = {}
+    # ONE module per (shape, platform): a single multi-platform module
+    # cannot carry platform-exclusive kernels (the Pallas flash branch only
+    # lowers for tpu), but per-platform modules each prune to their branch
+    entries: Dict[Tuple[int, int], Dict[str, bytes]] = {}
     for n in bucket_list:
         # same rounding as BucketedDataset.batch_size_for — the artifact
         # must hit a compiled entry for every shape the scorer CLI produces
         B = max(1, round(batch_docs / n))
         args = (jax.ShapeDtypeStruct((B, n, F), np.float32),
                 jax.ShapeDtypeStruct((B, n), np.bool_))
-        exp = jexport.export(jax.jit(predict), platforms=plats)(*args)
-        entries[(B, n)] = exp.serialize()
+        entries[(B, n)] = {
+            p: jexport.export(jax.jit(predict), platforms=[p])(*args).serialize()
+            for p in plats}
 
     blob = {
         "version": ARTIFACT_VERSION,
         "num_features": F,
         "batch_docs": batch_docs,
         "model_id": ranker.model_id,
-        "platforms": plats or [jax.default_backend()],
+        "platforms": plats,
         "entries": entries,
     }
     with open(out_path, "wb") as f:
@@ -109,16 +116,25 @@ class ExportedScorer:
     def _fn(self, shape: Tuple[int, int]):
         fn = self._fns.get(shape)
         if fn is None:
+            import jax
             from jax import export as jexport
 
-            blob = self._blob["entries"].get(shape)
-            if blob is None:
+            per_plat = self._blob["entries"].get(shape)
+            if per_plat is None:
                 raise KeyError(
                     f"no exported entry for batch shape {shape}; artifact has "
                     f"{sorted(self._blob['entries'])}. Score with -batch_docs "
                     f"{self.batch_docs}, or re-export with matching "
                     f"-batch_docs / a larger -max_docs (lists longer than the "
                     f"largest exported bucket need extra doubled buckets)")
+            backend = jax.default_backend()
+            plat = "tpu" if backend == "axon" else backend
+            blob = per_plat.get(plat)
+            if blob is None:
+                raise KeyError(
+                    f"artifact was exported for platforms "
+                    f"{sorted(per_plat)} but this process runs on '{plat}'; "
+                    f"re-export with -platforms {plat} (or cpu,tpu)")
             fn = self._fns[shape] = jexport.deserialize(bytearray(blob)).call
         return fn
 

@@ -83,24 +83,23 @@ def mhsa_apply(
                  batch_axis=cp.batch_axis)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, F)
         return linear_apply(p["fc"], out)
-    if flash and jax.default_backend() not in ("tpu", "axon"):
-        # the fused Pallas kernel is TPU-only; off-TPU (CPU tests, a user
-        # JSON config run locally) degrade to the blockwise lax path, which
-        # has the same O(N*block) memory contract. "axon" is this project's
-        # remote-TPU PJRT platform name (canonicalized to tpu for lowering)
-        import warnings
-
-        warnings.warn("flash_attn=True requires a TPU backend; falling back "
-                      "to blockwise attention", stacklevel=2)
-        flash = False
-        if attn_block_size is None:
-            attn_block_size = min(128, N) if N > 1 else None
     if flash:
-        # fused Pallas flash kernel (TPU): scores tile never leaves VMEM.
-        # Attention-prob dropout skipped by contract (see ops/attention.py).
-        from ptranking_tpu.ops.attention import flash_attention
+        # fused Pallas flash kernel on TPU (scores tile never leaves VMEM);
+        # any other lowering platform gets the blockwise lax path with the
+        # SAME semantics (attention-prob dropout skipped by contract on both
+        # — see ops/attention.py). The choice is made PER LOWERING PLATFORM
+        # (lax.platform_dependent), not from the trace host's backend, so a
+        # cross-platform StableHLO export (ptranking_tpu.export, platforms=
+        # cpu,tpu) bakes the right kernel into each platform's program.
+        from ptranking_tpu.ops.attention import (blockwise_attention,
+                                                 flash_attention)
 
-        out = flash_attention(q, k, v, mask)
+        out = jax.lax.platform_dependent(
+            q, k, v, mask,
+            tpu=lambda q, k, v, m: flash_attention(q, k, v, m),
+            default=lambda q, k, v, m: blockwise_attention(
+                q, k, v, m, block_size=min(128, max(N, 1))),
+        )
         out = out.transpose(0, 2, 1, 3).reshape(B, N, F)
         return linear_apply(p["fc"], out)
     if attn_block_size is not None and N > attn_block_size:

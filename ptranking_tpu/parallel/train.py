@@ -178,11 +178,13 @@ class DistributedTrainer:
         batch_axes = ("dcn", "data") if "dcn" in mesh.axis_names else "data"
 
         def rowwise_idcg(labels, mask):
-            gains = label_gain(jnp.where(mask, labels, 0.0), label_type)
-            n = labels.shape[-1]
-            discounts = 1.0 / jnp.log2(jnp.arange(n, dtype=labels.dtype) + 2.0)
-            return jnp.maximum(
-                jnp.sum(gains * discounts * mask, axis=-1, keepdims=True), 1e-12)
+            # the SAME ideal-DCG (incl. the EPSILON floor) the dense losses
+            # divide by — one source of truth for the CP == dense contract
+            from ptranking_tpu import EPSILON
+            from ptranking_tpu.losses.listwise import _full_dcg
+
+            return jnp.maximum(_full_dcg(labels, mask, label_type),
+                               EPSILON)[..., None]
 
         def cp_loss(scores, labels, mask):
             if model_id == "RankNet":
@@ -456,19 +458,17 @@ class DistributedTrainer:
         if hit is not None and hit[0]() is res:
             return hit[1]
         cache.pop(key, None)  # id reuse by a different object
-        from ptranking_tpu.data.device_cache import QuantFeats
+        from ptranking_tpu.data.device_cache import padded_host_arrays
 
         f_sh, lm_sh = self._resident_shardings()
         arrs = {}
         for b in res.buckets:
-            f, l, m = res.bucket_arrays(b)
-            if isinstance(f, QuantFeats):
-                # int8 residency is a single-chip HBM lever; the mesh jits
-                # declare dense in_shardings, so dequantize on upload — on
-                # the HOST, so no chip ever holds the full fp32 bucket
-                # unsharded (device_put then ships each device its shard)
-                f = (np.asarray(f.data).astype(np.float32)
-                     * np.asarray(f.scale) + np.asarray(f.offset))
+            # build the mesh copy from the HOST-side packed arrays: no
+            # single-device fp32 transient, no dequant round-trip for int8
+            # residents (the mesh jits declare dense in_shardings — int8
+            # residency is a single-chip HBM lever), and device_put ships
+            # each device only its shard
+            f, l, m = padded_host_arrays(res.ds, b)
             arrs[b] = (jax.device_put(f, f_sh), jax.device_put(l, lm_sh),
                        jax.device_put(m, lm_sh))
         cache[key] = (weakref.ref(res), arrs)

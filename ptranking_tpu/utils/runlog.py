@@ -19,7 +19,13 @@ from typing import Iterator, Optional
 
 
 class _Tee:
-    """File-like object duplicating writes to a console stream and a file."""
+    """File-like object duplicating writes to a console stream and a file.
+
+    Python-level writes only: `fileno()` exposes the real console fd (so
+    subprocess(stdout=sys.stdout) and C-level printers keep working), which
+    means FD-LEVEL output — subprocesses, native-tool prints, XLA C++ logs —
+    reaches the console but bypasses the log file. Same contract as the
+    reference's sys.stdout replacement (it loses fd-level output entirely)."""
 
     def __init__(self, console, logfile):
         self._console = console
@@ -30,6 +36,10 @@ class _Tee:
         self._file.write(s)
         return n
 
+    def writelines(self, lines) -> None:
+        for s in lines:
+            self.write(s)
+
     def flush(self) -> None:
         self._console.flush()
         self._file.flush()
@@ -39,6 +49,12 @@ class _Tee:
 
     def fileno(self) -> int:
         return self._console.fileno()
+
+    @property
+    def buffer(self):
+        # binary-mode callers fall through to the console; the log captures
+        # text-mode output only (see class docstring)
+        return getattr(self._console, "buffer", self._console)
 
 
 @contextlib.contextmanager

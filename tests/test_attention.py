@@ -94,11 +94,12 @@ def test_flash_attention_matches_dense_interpret():
 
 
 def test_flash_attn_config_falls_back_off_tpu():
-    """ScorerConfig(flash_attn=True) on a non-TPU backend degrades to the
-    blockwise lax path with a warning, matching dense at eval (the knob is
-    JSON-reachable, so a config written for TPU must still run locally)."""
+    """ScorerConfig(flash_attn=True) resolves per LOWERING PLATFORM
+    (lax.platform_dependent): non-TPU platforms get the blockwise lax path
+    with the same no-attention-dropout contract, matching dense at eval —
+    so a config written for TPU still runs locally, and a cross-platform
+    StableHLO export bakes the right kernel per platform."""
     import dataclasses
-    import warnings
 
     from ptranking_tpu.models.scorers import (ScorerConfig, apply_scorer,
                                               init_scorer)
@@ -108,10 +109,30 @@ def test_flash_attn_config_falls_back_off_tpu():
     params = init_scorer(jax.random.PRNGKey(0), cfg)
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 150, 10))
     mask = jnp.ones((2, 150), bool).at[1, 100:].set(False)
-    with warnings.catch_warnings(record=True) as w:
-        warnings.simplefilter("always")
-        s = apply_scorer(params, cfg, x, mask, training=False)
-    assert any("flash_attn" in str(x.message) for x in w)
+    s = apply_scorer(params, cfg, x, mask, training=False)
     sd = apply_scorer(params, dataclasses.replace(cfg, flash_attn=False),
                       x, mask, training=False)
     assert float(jnp.max(jnp.where(mask, jnp.abs(s - sd), 0.0))) < 1e-4
+    # grads flow through the platform-selected branch
+    g = jax.grad(lambda p: jnp.sum(jnp.where(
+        mask, apply_scorer(p, cfg, x, mask, training=False), 0.0) ** 2))(params)
+    gn = sum(float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gn) and gn > 0
+    # per-platform exports of the flash config must each lower their own
+    # branch (the scenario the host-backend gate broke): the tpu program
+    # carries the mosaic kernel, the cpu program doesn't — and the cpu one
+    # executes here, matching dense. (One multi-platform module can't hold a
+    # platform-exclusive kernel; ptranking_tpu.export stores one module per
+    # platform for exactly this reason.)
+    from jax import export as jexport
+
+    fn = jax.jit(lambda xx, mm: apply_scorer(params, cfg, xx, mm,
+                                             training=False))
+    args = (jax.ShapeDtypeStruct((2, 150, 10), jnp.float32),
+            jax.ShapeDtypeStruct((2, 150), jnp.bool_))
+    exp_tpu = jexport.export(fn, platforms=["tpu"])(*args)
+    assert "tpu_custom_call" in exp_tpu.mlir_module()
+    exp_cpu = jexport.export(fn, platforms=["cpu"])(*args)
+    assert "tpu_custom_call" not in exp_cpu.mlir_module()
+    s_exp = exp_cpu.call(x, mask)
+    assert float(jnp.max(jnp.where(mask, jnp.abs(s_exp - sd), 0.0))) < 1e-4
