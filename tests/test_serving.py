@@ -89,3 +89,22 @@ def test_export_artifact_matches_checkpoint_scoring(tmp_path):
 
     with pytest.raises(KeyError, match="no exported entry"):
         es.predict(Odd())
+
+
+def test_export_artifact_platform_mismatch_error(tmp_path):
+    """An artifact exported only for another platform names the fix."""
+    import jax.numpy as jnp
+
+    from ptranking_tpu.export import ExportedScorer, export_scorer
+
+    r, qs, ds, ck = _trained_ranker(tmp_path)
+    art = str(tmp_path / "m.ptx")
+    export_scorer(ck, art, batch_docs=100, buckets=[16], platforms=["tpu"])
+    es = ExportedScorer(art)
+
+    class B:
+        features = jnp.ones((6, 16, es.num_features))
+        mask = jnp.ones((6, 16), bool)
+
+    with pytest.raises(KeyError, match="platforms"):
+        es.predict(B())
