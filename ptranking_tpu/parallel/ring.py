@@ -351,3 +351,64 @@ def ring_approx_ndcg(
         out_specs=P(axis_name), **_SM_NOCHECK,
     )(scores, n_gains, mask)
     return out[0]
+
+
+def ring_soft_rank(
+    scores: jnp.ndarray,    # [B, N] raw scores; N sharded over axis_name
+    n_gains: jnp.ndarray,   # [B, N] gain/IDCG of the labels (given order)
+    mask: jnp.ndarray,      # [B, N]
+    mesh: Mesh,
+    delta: float = 1.0,
+    top_k: Optional[int] = None,
+    axis_name: str = "seq",
+    batch_axis: Optional[str] = None,
+) -> jnp.ndarray:
+    """Doc-axis-sharded SoftRank (losses/listwise.py::soft_rank blockwise).
+
+    The expected ranks E[rank_i] = 1 + sum_{j != i} Phi0((s_i - s_j) /
+    sqrt(2 * 2 delta^2)) reduce the N x N pair space ALONG j — the same
+    running row-sum shape as ring_approx_ndcg, with the Gaussian pairwise
+    CDF in place of the sigmoid. The diagonal (j == i, Phi0(0) = 0.5) is
+    accumulated when a device's own block visits and subtracted once at the
+    end, keeping the ring body branch-free. top_k masks GLOBAL doc positions
+    (each shard offsets its local arange by axis_index * n_local), exactly
+    the dense loss's `arange(N) < top_k` over the given order.
+    """
+    P_ = mesh.shape[axis_name]
+    perm = [(i, (i + 1) % P_) for i in range(P_)]
+    inv_std = 1.0 / jnp.sqrt(2.0 * 2.0 * delta * delta)
+
+    def per_device(s_l, g_l, m_l):
+        def step(carry, _):
+            s_c, m_c, rank_acc = carry
+            phi0 = 0.5 * jax.lax.erfc((s_l[:, :, None] - s_c[:, None, :]) * inv_std)
+            valid = m_l[:, :, None] & m_c[:, None, :]
+            rank_acc = rank_acc + jnp.sum(jnp.where(valid, phi0, 0.0), axis=-1)
+            s_n = jax.lax.ppermute(s_c, axis_name, perm)
+            m_n = jax.lax.ppermute(m_c, axis_name, perm)
+            return (s_n, m_n, rank_acc), None
+
+        init = (s_l, m_l, jnp.zeros(s_l.shape, jnp.float32))
+        (_, _, rank_sums), _ = jax.lax.scan(step, init, None, length=P_)
+        # remove the self-pair Phi0(0) = 0.5 the rotation accumulated once
+        expt_ranks = rank_sums - jnp.where(m_l, 0.5, 0.0) + 1.0
+        terms = jnp.where(m_l, g_l / jnp.log2(expt_ranks + 1.0), 0.0)
+        if top_k is not None:
+            n_local = s_l.shape[-1]
+            pos = jax.lax.axis_index(axis_name) * n_local + jnp.arange(n_local)
+            terms = jnp.where((pos < top_k)[None], terms, 0.0)
+        local = jnp.sum(terms, axis=-1)
+        total = jnp.sum(jax.lax.psum(local, axis_name))
+        if batch_axis is not None:
+            axes = (tuple(batch_axis) if isinstance(batch_axis, (tuple, list))
+                    else (batch_axis,))
+            total = jax.lax.psum(total, axes)
+        return -total[None]
+
+    spec = P(batch_axis, axis_name)
+    out = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=P(axis_name), **_SM_NOCHECK,
+    )(scores, n_gains, mask)
+    return out[0]

@@ -37,11 +37,14 @@ class DistributedTrainer:
 
     # model ids whose [B, N, N] pair space routes through a blockwise ring
     # loss under shard_docs (no full pair matrix per device; HLO-asserted)
-    CP_PAIR_LOSSES = ("LambdaRank", "RankNet", "LambdaLoss", "ApproxNDCG")
+    CP_PAIR_LOSSES = ("LambdaRank", "RankNet", "LambdaLoss", "ApproxNDCG",
+                      "SoftRank")
     # O(N^2) losses NOT yet ring-routed: under shard_docs they fall back to
     # XLA auto-gather of the full [B, N, N] block (correct, but the memory
-    # win of CP is lost for the loss term) — warned once at init
-    CP_QUADRATIC_FALLBACK = ("SoftRank", "WassRank")
+    # win of CP is lost for the loss term) — warned once at init. WassRank's
+    # Sinkhorn iterates a full doc-permutation coupling; a doc-sharded
+    # Sinkhorn needs a distributed transport solver, out of scope.
+    CP_QUADRATIC_FALLBACK = ("WassRank",)
 
     stop_check_freq = 10  # reference stop_training cadence (base/ranker.py:496)
 
@@ -165,11 +168,13 @@ class DistributedTrainer:
           RankNet/LambdaRank -> ring_lambda_loss   (pair BCE [+ ΔnDCG])
           LambdaLoss         -> ring_lambdaloss    (power-weighted log-loss)
           ApproxNDCG         -> ring_approx_ndcg   (blockwise rank sums)
+          SoftRank           -> ring_soft_rank     (blockwise Gaussian ranks)
         """
         from ptranking_tpu.ops import gain as label_gain
         from ptranking_tpu.ops.sorting import sort_labels_by_scores
         from ptranking_tpu.parallel.ring import (
-            ring_approx_ndcg, ring_lambda_loss, ring_lambdaloss)
+            ring_approx_ndcg, ring_lambda_loss, ring_lambdaloss,
+            ring_soft_rank)
 
         model_id, label_type = self.model_id, self.label_type
         paras = self.model_paras
@@ -201,6 +206,16 @@ class DistributedTrainer:
                 return ring_approx_ndcg(scores, n_gains, mask, mesh,
                                         alpha=float(paras.get("alpha", 10.0)),
                                         batch_axis=batch_axes)
+            if model_id == "SoftRank":
+                # expected ranks over the GIVEN order, like the dense loss
+                idcg = rowwise_idcg(labels, mask)
+                gains = label_gain(jnp.where(mask, labels, 0.0), label_type)
+                n_gains = jnp.where(mask, gains / idcg, 0.0)
+                top_k = paras.get("top_k")
+                return ring_soft_rank(scores, n_gains, mask, mesh,
+                                      delta=float(paras.get("delta", 2.0)),
+                                      top_k=None if top_k is None else int(top_k),
+                                      batch_axis=batch_axes)
             # sorted-order pair losses
             s_sorted, l_sorted, m_sorted = sort_labels_by_scores(scores, labels, mask)
             idcg = rowwise_idcg(labels, mask)

@@ -546,10 +546,12 @@ def test_pp_stages_guards():
     ("LambdaLoss", {"loss_type": "NDCG_Loss2++", "k": 8, "sigma": 1.0, "mu": 5.0}),
     ("LambdaLoss", {"loss_type": "NDCG_Loss1", "k": 8, "sigma": 1.0}),
     ("ApproxNDCG", {"alpha": 10.0}),
+    ("SoftRank", {"delta": 2.0, "top_k": None}),
+    ("SoftRank", {"delta": 2.0, "top_k": 5}),
 ])
 def test_cp_loss_zoo_matches_single_device(model, paras):
-    """shard_docs=True routes LambdaLoss/ApproxNDCG through the blockwise
-    ring losses; training matches the dense single-device path."""
+    """shard_docs=True routes LambdaLoss/ApproxNDCG/SoftRank through the
+    blockwise ring losses; training matches the dense single-device path."""
     sf = ScorerConfig(sf_id="pointsf", num_features=24, num_layers=2, h_dim=32,
                       dropout=0.0, apply_tl_af=False, BN=False)
     qs = make_synthetic_queries(num_queries=32, num_features=24, seed=3,
@@ -572,6 +574,7 @@ def test_cp_loss_zoo_matches_single_device(model, paras):
 @pytest.mark.parametrize("model,paras", [
     ("LambdaLoss", {"loss_type": "NDCG_Loss2", "k": 8}),
     ("ApproxNDCG", {"alpha": 10.0}),
+    ("SoftRank", {"delta": 2.0}),
 ])
 def test_cp_loss_zoo_never_materialises_pair_matrix(model, paras):
     """The compiled CP step for the newly ring-routed losses holds no full
@@ -597,7 +600,7 @@ def test_cp_quadratic_fallback_warns():
     sf = ScorerConfig(sf_id="pointsf", num_features=24, num_layers=2, h_dim=32)
     mesh = make_mesh(MeshConfig(data=1, seq=8))
     with pytest.warns(UserWarning, match="not ring-routed"):
-        DistributedTrainer("SoftRank", sf, mesh, shard_docs=True)
+        DistributedTrainer("WassRank", sf, mesh, shard_docs=True)
 
 
 def test_distributed_resident_accepts_int8_dataset():
