@@ -1,0 +1,268 @@
+"""Doc-axis-sharded WassRank: distributed log-domain Sinkhorn OT.
+
+Closes the last gap in the CP loss zoo (parallel/train.py CP_PAIR_LOSSES):
+WassRank's entropic OT iterates over an [N, N] coupling between the
+prediction and label histograms (losses/wassrank.py; reference
+pytorch_wasserstein.py:325-393), which under `shard_docs=True` used to fall
+back to XLA auto-gathering the full [B, N, N] cost block per device.
+
+Sharded layout (docs sharded over `axis_name`, P shards):
+
+  * mu (prediction histogram) and the Sinkhorn u-potential live on the
+    sharded doc axis — [B, n/P] per device.
+  * nu (label histogram) and the v-potential are O(N) row vectors — cheap,
+    so each device keeps the full [B, N] (labels are all_gathered once, the
+    same [B, N]-scalar traffic ring_lambda_loss's sort path pays).
+  * the cost matrix exists only as this device's row block [B, n/P, N],
+    (re)built from labels — a factor-P memory win over the dense path, and
+    the compiled HLO holds no [B, N, N] buffer (asserted in tests).
+
+Per Sinkhorn iteration the only communication is one pmax + one psum over
+`axis_name` (the cross-shard logsumexp for the v-update); the u-update is
+device-local because each device owns entire rows. Gradients follow the
+dense path's semantics exactly: a custom_vjp returns the analytic dual
+gradient lam*log(u) into mu only, double-mean-centered over each query's
+valid docs (ops/sinkhorn.py::_sd_bwd), with the centering sums psum'd
+across shards.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ptranking_tpu import PAD_SCORE
+from ptranking_tpu.ops.sinkhorn import _NEG, _lse, _safe_log
+from ptranking_tpu.parallel._compat import SM_NOCHECK as _SM_NOCHECK, shard_map
+
+
+def _axes_tuple(*axes) -> Tuple[str, ...]:
+    out = []
+    for a in axes:
+        if a is None:
+            continue
+        out.extend(a if isinstance(a, (tuple, list)) else (a,))
+    return tuple(out)
+
+
+def _plse(x: jnp.ndarray, axis: int, axis_name: str) -> jnp.ndarray:
+    """Cross-shard logsumexp: reduce `axis` locally AND across `axis_name`.
+    Mirrors ops/sinkhorn.py::_lse's _NEG-as-zero convention (an all-_NEG
+    column comes back ~_NEG, never -inf/NaN)."""
+    m = jnp.max(x, axis=axis, keepdims=True)
+    m = jnp.maximum(m, _NEG)
+    m = jax.lax.pmax(m, axis_name)
+    s = jax.lax.psum(jnp.sum(jnp.exp(x - m), axis=axis), axis_name)
+    return jnp.squeeze(m, axis) + _safe_log(s)
+
+
+def _plse_last(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """Combine per-shard partial LSE scalars (already locally reduced) into
+    the global LSE across `axis_name` — LSE is associative."""
+    m = jax.lax.pmax(jnp.maximum(x, _NEG), axis_name)
+    s = jax.lax.psum(jnp.exp(x - m), axis_name)
+    return m + _safe_log(s)
+
+
+# --------------------------------------------------------------- cost blocks
+
+
+def _cost_block(l_l, m_l, l_full, m_full, rows, N, cost_type, non_rele_gap,
+                var_penalty, gain_base):
+    """This device's row block [B, n/P, N] of losses/wassrank.py's cost
+    matrices (get_cost_mat) — identical entries, built blockwise from the
+    local labels (rows) x the gathered full labels (columns)."""
+    cols = jnp.arange(N)
+    if cost_type in ("p1", "p2"):
+        pos_r = (rows + 1).astype(l_l.dtype)
+        pos_c = (cols + 1).astype(l_l.dtype)
+        c = jnp.abs(pos_r[:, None] - pos_c[None, :])
+        if cost_type == "p2":
+            c = jnp.power(c, 2.0)
+        return jnp.broadcast_to(c[None], (*l_l.shape, N))
+    if cost_type == "eg":
+        def grp(lab, msk):
+            g = jnp.power(gain_base, jnp.where(msk, lab, 0.0)) - 1.0
+            return jnp.where(g < 1.0, -non_rele_gap, g)
+
+        c = jnp.abs(grp(l_l, m_l)[..., :, None] - grp(l_full, m_full)[..., None, :])
+        c = jnp.where(c < 1.0, var_penalty, c)
+        diag = rows[:, None] == cols[None, :]
+        return jnp.where(diag[None], 0.0, c)
+    if cost_type in ("dg", "ddg"):
+        def gains(lab, msk):
+            return jnp.power(2.0, jnp.where(msk, lab, 0.0)) - 1.0
+
+        c = jnp.abs(gains(l_l, m_l)[..., :, None] - gains(l_full, m_full)[..., None, :])
+        if cost_type == "ddg":
+            d_r = 1.0 / jnp.log2(rows.astype(l_l.dtype) + 2.0)
+            d_c = 1.0 / jnp.log2(cols.astype(l_l.dtype) + 2.0)
+            c = c * jnp.abs(d_r[:, None] - d_c[None, :])[None]
+        return c
+    raise NotImplementedError(cost_type)
+
+
+# ------------------------------------------------------- sharded Sinkhorn OT
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _sharded_sinkhorn_loss(mu_l, nu_full, cost_blk, real, lam, n_iters,
+                           axis_name, batch_axes):
+    """Per-device SHARE of the Sinkhorn transport loss: full_loss / n_dev.
+
+    The caller must psum the shares over (axis_name, *batch_axes) — that
+    psum both restores the full loss value AND is the edge whose transpose
+    fans the scalar output's cotangent out to every device (a custom_vjp
+    output read on one shard otherwise leaves g = 0 on the rest). The bwd
+    correspondingly returns each device's FULL [B_local, n/P] block of
+    d loss / d mu — every (row, column) block exists on exactly one device,
+    so the assembled gradient is counted once.
+    """
+    loss, _ = _ss_fwd(mu_l, nu_full, cost_blk, real, lam, n_iters,
+                      axis_name, batch_axes)
+    return loss
+
+
+def _ss_fwd(mu_l, nu_full, cost_blk, real, lam, n_iters, axis_name, batch_axes):
+    N = nu_full.shape[-1]
+    log_mu = _safe_log(mu_l)                      # [B, n/P] sharded rows
+    log_nu = _safe_log(nu_full)                   # [B, N] replicated cols
+    neg_c = -cost_blk / lam                       # [B, n/P, N]
+    log_u = jnp.where(log_mu > _NEG / 2, -jnp.log(float(N)), _NEG)
+    log_v = jnp.where(log_nu > _NEG / 2, -jnp.log(float(N)), _NEG)
+
+    def body(carry, _):
+        log_u, log_v = carry
+        # v-update: LSE over the SHARDED row axis -> one pmax + one psum
+        log_v = log_nu - _plse(neg_c + log_u[..., :, None], -2, axis_name)
+        # u-update: LSE over the full column axis — device-local rows
+        log_u = log_mu - _lse(neg_c + log_v[..., None, :], axis=-1)
+        return (log_u, log_v), None
+
+    (log_u, log_v), _ = jax.lax.scan(body, (log_u, log_v), None, length=n_iters)
+
+    # transport cost sum_ij u K C v per row, in log space (ops/sinkhorn.py::
+    # _transport_cost blockwise): local double-LSE then cross-shard combine
+    terms = _safe_log(cost_blk) + neg_c + log_u[..., :, None] + log_v[..., None, :]
+    per_row = jnp.exp(_plse_last(_lse(_lse(terms, -1), -1), axis_name))  # [B]
+
+    w = real.astype(mu_l.dtype)
+    num, den = jnp.sum(per_row * w), jnp.sum(w)
+    if batch_axes:
+        num = jax.lax.psum(num, batch_axes)
+        den = jax.lax.psum(den, batch_axes)
+    all_axes = (axis_name, *batch_axes)
+    n_dev = jax.lax.psum(jnp.ones((), mu_l.dtype), all_axes)
+    loss_share = (num / jnp.maximum(den, 1.0)) / n_dev
+    return loss_share, (log_u, mu_l, w, den)
+
+
+def _ss_bwd(lam, n_iters, axis_name, batch_axes, res, g):
+    # analytic dual gradient into mu only (ops/sinkhorn.py::_sd_bwd), the
+    # double mean-centering summed across the doc shards
+    log_u, mu_l, w, den = res
+    valid = mu_l > 0
+    grad = jnp.where(valid, log_u * lam, 0.0)
+    n = jax.lax.psum(jnp.sum(valid, axis=-1), axis_name)
+    n = jnp.maximum(n, 1).astype(grad.dtype)
+    for _ in range(2):
+        mean = jax.lax.psum(jnp.sum(grad, axis=-1), axis_name) / n
+        grad = grad - jnp.where(valid, mean[..., None], 0.0)
+    grad = grad * (w / jnp.maximum(den, 1.0))[..., None]
+    return (g * grad, None, None, None)
+
+
+_sharded_sinkhorn_loss.defvjp(_ss_fwd, _ss_bwd)
+
+
+# ------------------------------------------------------------------- entry
+
+
+def cp_wass_rank(
+    scores: jnp.ndarray,   # [B, N] raw scores; N sharded over axis_name
+    labels: jnp.ndarray,   # [B, N]
+    mask: jnp.ndarray,     # [B, N]
+    mesh: Mesh,
+    sh_itr: int = 20,
+    lam: float = 0.1,
+    smooth_type: str = "ST",
+    cost_type: str = "eg",
+    non_rele_gap: float = 100.0,
+    var_penalty: float = float(jnp.e),
+    gain_base: float = 4.0,
+    tl_af: str = "S",
+    axis_name: str = "seq",
+    batch_axis=None,
+) -> jnp.ndarray:
+    """Doc-axis-sharded wass_rank (SinkhornOT mode), numerically matching
+    losses/wassrank.py::wass_rank on the same batch — values and the
+    analytic mu-gradient (equivalence-tested in tests/test_parallel.py)."""
+    batch_axes = _axes_tuple(batch_axis)
+    all_axes = _axes_tuple(axis_name, batch_axis)
+
+    def per_device(s_l, l_l, m_l):
+        n_l = s_l.shape[-1]
+        rows = jax.lax.axis_index(axis_name) * n_l + jnp.arange(n_l)
+        l_full = jax.lax.all_gather(l_l, axis_name, axis=1, tiled=True)
+        m_full = jax.lax.all_gather(m_l, axis_name, axis=1, tiled=True)
+        N = l_full.shape[-1]
+
+        # ---- label-side histogram nu: O(N) vectors, computed in full
+        if smooth_type == "ST":
+            x = jnp.where(m_full, l_full, PAD_SCORE)
+            nu_full = jnp.where(m_full, jax.nn.softmax(x, axis=-1), 0.0)
+        else:  # "NG" (std_histogram_gn, gain_base fixed at 2 per the dense loss)
+            gains = jnp.where(m_full, jnp.power(2.0, l_full) - 1.0, 0.0)
+            nu_full = gains / jnp.maximum(jnp.sum(gains, -1, keepdims=True), 1e-12)
+
+        # ---- prediction histogram mu: sharded masked softmax over docs
+        if smooth_type == "ST":
+            s_in = s_l
+            if tl_af in ("S", "ST"):
+                # dense: max over the WHOLE batch's valid labels (scalar);
+                # labels carry no tangent — pmax has no diff rule, so feed
+                # it a stop_gradient (zero-tangent) input
+                max_rele = jax.lax.pmax(jax.lax.stop_gradient(
+                    jnp.max(jnp.where(m_l, l_l, 0.0))), all_axes)
+                s_in = s_l * max_rele
+            x = jnp.where(m_l, s_in, PAD_SCORE)
+            # the softmax max-shift is gradient-neutral: stop_gradient it
+            m = jax.lax.pmax(jax.lax.stop_gradient(
+                jnp.max(x, -1, keepdims=True)), axis_name)
+            e = jnp.exp(x - m)
+            denom = jax.lax.psum(jnp.sum(e, -1, keepdims=True), axis_name)
+            mu_l = jnp.where(m_l, e / denom, 0.0)
+        else:  # "NG"
+            s = jnp.where(m_l, s_l, 0.0)
+            # the dense loss's global score minimum IS differentiated
+            # (its subgradient flows at the argmin); pmin has no diff rule,
+            # so gather the per-device minima and min them locally
+            mini = jnp.min(jax.lax.all_gather(
+                jnp.min(jnp.where(m_l, s_l, jnp.inf)), all_axes))
+            s = jnp.where(m_l, jnp.where(mini > 0, s, s - mini), 0.0)
+            denom = jnp.maximum(
+                jax.lax.psum(jnp.sum(s, -1, keepdims=True), axis_name), 1e-12)
+            mu_l = s / denom
+
+        cost_blk = _cost_block(l_l, m_l, l_full, m_full, rows, N, cost_type,
+                               non_rele_gap, var_penalty, gain_base)
+        real = jnp.any(m_full, axis=-1)
+        share = _sharded_sinkhorn_loss(mu_l, nu_full, cost_blk, real,
+                                       float(lam), int(sh_itr), axis_name,
+                                       batch_axes)
+        # restores the full loss AND fans the cotangent to every device
+        # (see _sharded_sinkhorn_loss's docstring)
+        loss = jax.lax.psum(share, _axes_tuple(axis_name, batch_axis))
+        return loss[None]
+
+    spec = P(batch_axis, axis_name)
+    out = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=P(axis_name), **_SM_NOCHECK,
+    )(scores, labels, mask)
+    return out[0]

@@ -35,18 +35,25 @@ class DistributedTrainer:
     for the cheap [B, N] score-row sort.
     """
 
-    # model ids whose [B, N, N] pair space routes through a blockwise ring
-    # loss under shard_docs (no full pair matrix per device; HLO-asserted)
+    # model ids whose [B, N, N] pair space routes through a blockwise/sharded
+    # loss under shard_docs (no full pair matrix per device; HLO-asserted).
+    # WassRank routes its default SinkhornOT mode through the doc-sharded
+    # Sinkhorn (parallel/ot.py); its EntropicOT mode (convergence-frozen
+    # potentials needing a cross-shard marginal-error probe each iteration)
+    # is the one remaining auto-gather fallback — warned once at init.
     CP_PAIR_LOSSES = ("LambdaRank", "RankNet", "LambdaLoss", "ApproxNDCG",
-                      "SoftRank")
-    # O(N^2) losses NOT yet ring-routed: under shard_docs they fall back to
-    # XLA auto-gather of the full [B, N, N] block (correct, but the memory
-    # win of CP is lost for the loss term) — warned once at init. WassRank's
-    # Sinkhorn iterates a full doc-permutation coupling; a doc-sharded
-    # Sinkhorn needs a distributed transport solver, out of scope.
-    CP_QUADRATIC_FALLBACK = ("WassRank",)
+                      "SoftRank", "WassRank")
 
     stop_check_freq = 10  # reference stop_training cadence (base/ranker.py:496)
+
+    @staticmethod
+    def _cp_routed(model_id: str, paras: Dict[str, Any]) -> bool:
+        """Whether this loss's O(N^2) term runs sharded under shard_docs."""
+        if model_id not in DistributedTrainer.CP_PAIR_LOSSES:
+            return False
+        if model_id == "WassRank":
+            return paras.get("mode", "SinkhornOT") == "SinkhornOT"
+        return True
 
     def __init__(
         self,
@@ -89,7 +96,8 @@ class DistributedTrainer:
         self.scan_steps = max(int(scan_steps), 1)
         self.seed = seed
         self.stochastic = model_id in STOCHASTIC
-        if shard_docs and model_id in self.CP_QUADRATIC_FALLBACK:
+        if (shard_docs and model_id in self.CP_PAIR_LOSSES
+                and not self._cp_routed(model_id, self.model_paras)):
             import warnings
 
             warnings.warn(
@@ -169,9 +177,11 @@ class DistributedTrainer:
           LambdaLoss         -> ring_lambdaloss    (power-weighted log-loss)
           ApproxNDCG         -> ring_approx_ndcg   (blockwise rank sums)
           SoftRank           -> ring_soft_rank     (blockwise Gaussian ranks)
+          WassRank           -> cp_wass_rank       (doc-sharded Sinkhorn OT)
         """
         from ptranking_tpu.ops import gain as label_gain
         from ptranking_tpu.ops.sorting import sort_labels_by_scores
+        from ptranking_tpu.parallel.ot import cp_wass_rank
         from ptranking_tpu.parallel.ring import (
             ring_approx_ndcg, ring_lambda_loss, ring_lambdaloss,
             ring_soft_rank)
@@ -206,6 +216,19 @@ class DistributedTrainer:
                 return ring_approx_ndcg(scores, n_gains, mask, mesh,
                                         alpha=float(paras.get("alpha", 10.0)),
                                         batch_axis=batch_axes)
+            if model_id == "WassRank":
+                # SinkhornOT mode only (_cp_routed gates EntropicOT out)
+                return cp_wass_rank(
+                    scores, labels, mask, mesh,
+                    sh_itr=int(paras.get("sh_itr", 20)),
+                    lam=float(paras.get("lam", 0.1)),
+                    smooth_type=paras.get("smooth_type", "ST"),
+                    cost_type=paras.get("cost_type", "eg"),
+                    non_rele_gap=float(paras.get("non_rele_gap", 100.0)),
+                    var_penalty=float(paras.get("var_penalty", float(jnp.e))),
+                    gain_base=float(paras.get("gain_base", 4.0)),
+                    tl_af=paras.get("tl_af", "S"),
+                    batch_axis=batch_axes)
             if model_id == "SoftRank":
                 # expected ranks over the GIVEN order, like the dense loss
                 idcg = rowwise_idcg(labels, mask)
@@ -262,7 +285,8 @@ class DistributedTrainer:
 
             pp = PPPlan(self.mesh)
         cp_loss = (self._cp_pair_loss()
-                   if self.shard_docs and self.model_id in self.CP_PAIR_LOSSES
+                   if self.shard_docs and self._cp_routed(self.model_id,
+                                                          self.model_paras)
                    else None)
 
         def step(params, opt_state, key, features, labels, mask):
