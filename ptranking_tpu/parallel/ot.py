@@ -179,6 +179,69 @@ def _ss_bwd(lam, n_iters, axis_name, batch_axes, res, g):
 _sharded_sinkhorn_loss.defvjp(_ss_fwd, _ss_bwd)
 
 
+def _plse_sg(x: jnp.ndarray, axis: int, axis_name: str) -> jnp.ndarray:
+    """_plse with the cross-shard max-shift stop-gradiented: pmax has no
+    differentiation rule, but an LSE's max subtraction is gradient-neutral,
+    so feeding pmax a zero-tangent input keeps the whole expression
+    reverse-mode differentiable (EntropicOT differentiates THROUGH its
+    iterations, unlike the SinkhornOT custom_vjp)."""
+    m = jax.lax.pmax(jax.lax.stop_gradient(
+        jnp.maximum(jnp.max(x, axis=axis, keepdims=True), _NEG)), axis_name)
+    s = jax.lax.psum(jnp.sum(jnp.exp(x - m), axis=axis), axis_name)
+    return jnp.squeeze(m, axis) + _safe_log(s)
+
+
+def _cp_entropic_ot(mu_l, nu_full, cost_blk, real, eps, max_iters, thresh,
+                    axis_name, batch_axes):
+    """Doc-sharded EntropicOT (ops/sinkhorn.py::entropic_ot blockwise):
+    Sinkhorn-divergence potentials with the convergence freeze, reverse-mode
+    differentiable through the fixed-length scan. The f-potential lives on
+    the sharded rows; the g-update and the frozen marginal-error probe each
+    cost one cross-shard reduction per iteration."""
+    log_mu = _safe_log(mu_l)
+    log_nu = _safe_log(nu_full)
+    valid_mu = mu_l > 0
+    valid_nu = nu_full > 0
+
+    def m_op(f, g):  # [B, n/P, N] = (-C + f_i + g_j) / eps
+        return (-cost_blk + f[..., :, None] + g[..., None, :]) / eps
+
+    # batch size for the error's mean: the dense loss means over ALL rows
+    b_total = jnp.asarray(mu_l.shape[0], mu_l.dtype)
+    if batch_axes:
+        b_total = jax.lax.psum(b_total, batch_axes)
+
+    def body(state, _):
+        f, g, err = state
+        f1 = eps * (log_mu - _lse(m_op(f, g), axis=-1)) + f
+        f1 = jnp.where(valid_mu, f1, _NEG)
+        g1 = eps * (log_nu - _plse_sg(m_op(f1, g), -2, axis_name)) + g
+        g1 = jnp.where(valid_nu, g1, _NEG)
+        # error probe: no gradient (ops/sinkhorn.py entropic_ot's rationale)
+        marg = jax.lax.stop_gradient(jnp.exp(_lse(m_op(f1, g1), axis=-1)))
+        row_err = jnp.sum(jnp.abs(marg - jax.lax.stop_gradient(mu_l)), axis=-1)
+        err1 = jnp.sum(jax.lax.psum(row_err, axis_name)) / b_total
+        if batch_axes:
+            err1 = jax.lax.psum(err1, batch_axes)
+        done = err <= thresh
+        f1 = jnp.where(done, f, f1)
+        g1 = jnp.where(done, g, g1)
+        err1 = jnp.where(done, err, err1)
+        return (f1, g1, err1), None
+
+    f0 = jnp.zeros_like(mu_l)
+    g0 = jnp.zeros_like(nu_full)
+    (f, g, _), _ = jax.lax.scan(body, (f0, g0, jnp.inf), None, length=max_iters)
+    pi_blk = jnp.exp(m_op(f, g))
+    per_row = jax.lax.psum(jnp.sum(pi_blk * cost_blk, axis=(-2, -1)), axis_name)
+    w = real.astype(mu_l.dtype)
+    num, den = jnp.sum(per_row * w), jnp.sum(w)
+    if batch_axes:
+        num = jax.lax.psum(num, batch_axes)
+        den = jax.lax.psum(den, batch_axes)
+    return num / jnp.maximum(den, 1.0)
+
+
 # ------------------------------------------------------------------- entry
 
 
@@ -187,6 +250,7 @@ def cp_wass_rank(
     labels: jnp.ndarray,   # [B, N]
     mask: jnp.ndarray,     # [B, N]
     mesh: Mesh,
+    mode: str = "SinkhornOT",
     sh_itr: int = 20,
     lam: float = 0.1,
     smooth_type: str = "ST",
@@ -195,12 +259,17 @@ def cp_wass_rank(
     var_penalty: float = float(jnp.e),
     gain_base: float = 4.0,
     tl_af: str = "S",
+    thresh: float = 1e-1,
     axis_name: str = "seq",
     batch_axis=None,
 ) -> jnp.ndarray:
-    """Doc-axis-sharded wass_rank (SinkhornOT mode), numerically matching
-    losses/wassrank.py::wass_rank on the same batch — values and the
-    analytic mu-gradient (equivalence-tested in tests/test_parallel.py)."""
+    """Doc-axis-sharded wass_rank (both OT modes), numerically matching
+    losses/wassrank.py::wass_rank on the same batch — values and
+    score-gradients (equivalence-tested in tests/test_parallel.py).
+    SinkhornOT uses the analytic-dual custom_vjp; EntropicOT reverse-mode
+    differentiates through its convergence-frozen iterations."""
+    if mode not in ("SinkhornOT", "EntropicOT"):
+        raise NotImplementedError(mode)
     batch_axes = _axes_tuple(batch_axis)
     all_axes = _axes_tuple(axis_name, batch_axis)
 
@@ -251,12 +320,19 @@ def cp_wass_rank(
         cost_blk = _cost_block(l_l, m_l, l_full, m_full, rows, N, cost_type,
                                non_rele_gap, var_penalty, gain_base)
         real = jnp.any(m_full, axis=-1)
-        share = _sharded_sinkhorn_loss(mu_l, nu_full, cost_blk, real,
-                                       float(lam), int(sh_itr), axis_name,
-                                       batch_axes)
-        # restores the full loss AND fans the cotangent to every device
-        # (see _sharded_sinkhorn_loss's docstring)
-        loss = jax.lax.psum(share, _axes_tuple(axis_name, batch_axis))
+        if mode == "EntropicOT":
+            # plain autodiff: the in-graph psums both replicate the value
+            # and fan the cotangent out (same shape as the ring losses)
+            loss = _cp_entropic_ot(mu_l, nu_full, cost_blk, real,
+                                   float(lam), int(sh_itr), float(thresh),
+                                   axis_name, batch_axes)
+        else:
+            share = _sharded_sinkhorn_loss(mu_l, nu_full, cost_blk, real,
+                                           float(lam), int(sh_itr), axis_name,
+                                           batch_axes)
+            # restores the full loss AND fans the cotangent to every device
+            # (see _sharded_sinkhorn_loss's docstring)
+            loss = jax.lax.psum(share, _axes_tuple(axis_name, batch_axis))
         return loss[None]
 
     spec = P(batch_axis, axis_name)

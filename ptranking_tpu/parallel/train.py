@@ -37,10 +37,8 @@ class DistributedTrainer:
 
     # model ids whose [B, N, N] pair space routes through a blockwise/sharded
     # loss under shard_docs (no full pair matrix per device; HLO-asserted).
-    # WassRank routes its default SinkhornOT mode through the doc-sharded
-    # Sinkhorn (parallel/ot.py); its EntropicOT mode (convergence-frozen
-    # potentials needing a cross-shard marginal-error probe each iteration)
-    # is the one remaining auto-gather fallback — warned once at init.
+    # This is every O(N^2) loss in the zoo — WassRank's two OT modes both
+    # run through the doc-sharded Sinkhorn (parallel/ot.py).
     CP_PAIR_LOSSES = ("LambdaRank", "RankNet", "LambdaLoss", "ApproxNDCG",
                       "SoftRank", "WassRank")
 
@@ -49,11 +47,7 @@ class DistributedTrainer:
     @staticmethod
     def _cp_routed(model_id: str, paras: Dict[str, Any]) -> bool:
         """Whether this loss's O(N^2) term runs sharded under shard_docs."""
-        if model_id not in DistributedTrainer.CP_PAIR_LOSSES:
-            return False
-        if model_id == "WassRank":
-            return paras.get("mode", "SinkhornOT") == "SinkhornOT"
-        return True
+        return model_id in DistributedTrainer.CP_PAIR_LOSSES
 
     def __init__(
         self,
@@ -96,15 +90,6 @@ class DistributedTrainer:
         self.scan_steps = max(int(scan_steps), 1)
         self.seed = seed
         self.stochastic = model_id in STOCHASTIC
-        if (shard_docs and model_id in self.CP_PAIR_LOSSES
-                and not self._cp_routed(model_id, self.model_paras)):
-            import warnings
-
-            warnings.warn(
-                f"{model_id} under shard_docs=True: the O(N^2) loss term is "
-                "not ring-routed — XLA will auto-gather the full [B, N, N] "
-                "block for the loss (attention stays blockwise). See "
-                "docs/parallel.md.", stacklevel=2)
 
     def init(self):
         key = jax.random.PRNGKey(self.seed)
@@ -217,9 +202,9 @@ class DistributedTrainer:
                                         alpha=float(paras.get("alpha", 10.0)),
                                         batch_axis=batch_axes)
             if model_id == "WassRank":
-                # SinkhornOT mode only (_cp_routed gates EntropicOT out)
                 return cp_wass_rank(
                     scores, labels, mask, mesh,
+                    mode=paras.get("mode", "SinkhornOT"),
                     sh_itr=int(paras.get("sh_itr", 20)),
                     lam=float(paras.get("lam", 0.1)),
                     smooth_type=paras.get("smooth_type", "ST"),

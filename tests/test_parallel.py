@@ -549,6 +549,7 @@ def test_pp_stages_guards():
     ("SoftRank", {"delta": 2.0, "top_k": None}),
     ("SoftRank", {"delta": 2.0, "top_k": 5}),
     ("WassRank", {"mode": "SinkhornOT", "sh_itr": 10, "lam": 0.1}),
+    ("WassRank", {"mode": "EntropicOT", "sh_itr": 10, "lam": 0.1}),
 ])
 def test_cp_loss_zoo_matches_single_device(model, paras):
     """shard_docs=True routes LambdaLoss/ApproxNDCG/SoftRank through the
@@ -598,24 +599,26 @@ def test_cp_loss_zoo_never_materialises_pair_matrix(model, paras):
     assert f"{B},{N},{N}]" not in hlo, "CP still materialises [B,N,N] pairs"
 
 
-def test_cp_quadratic_fallback_warns():
-    """WassRank's EntropicOT mode is the one remaining auto-gather fallback
-    (SinkhornOT routes through the doc-sharded Sinkhorn, parallel/ot.py)."""
+def test_cp_no_fallback_warnings():
+    """Every O(N^2) loss in the zoo (including both WassRank OT modes)
+    constructs under shard_docs without any auto-gather fallback warning."""
     import warnings
 
     sf = ScorerConfig(sf_id="pointsf", num_features=24, num_layers=2, h_dim=32)
     mesh = make_mesh(MeshConfig(data=1, seq=8))
-    with pytest.warns(UserWarning, match="not ring-routed"):
-        DistributedTrainer("WassRank", sf, mesh, shard_docs=True,
-                           model_paras={"mode": "EntropicOT"})
-    with warnings.catch_warnings():  # default SinkhornOT mode must NOT warn
+    with warnings.catch_warnings():
         warnings.simplefilter("error")
-        DistributedTrainer("WassRank", sf, mesh, shard_docs=True)
+        for model, paras in [("WassRank", {"mode": "SinkhornOT"}),
+                             ("WassRank", {"mode": "EntropicOT"}),
+                             ("SoftRank", None), ("LambdaLoss", None)]:
+            DistributedTrainer(model, sf, mesh, shard_docs=True,
+                               model_paras=paras)
 
 
 def test_cp_wass_rank_matches_dense():
     """Doc-sharded Sinkhorn == dense wass_rank: values and score-gradients,
-    across cost types and both histogram smoothings, with ragged masks."""
+    across cost types, both histogram smoothings and both OT modes, with
+    ragged masks."""
     from ptranking_tpu.losses.wassrank import wass_rank
     from ptranking_tpu.parallel.ot import cp_wass_rank
 
@@ -627,19 +630,21 @@ def test_cp_wass_rank_matches_dense():
     mask = jnp.arange(N)[None, :] < jnp.asarray([16, 13, 9, 16])[:, None]
     labels = jnp.where(mask, labels, 0.0)
 
-    for cost_type, smooth_type in [("eg", "ST"), ("eg", "NG"),
-                                   ("p1", "ST"), ("ddg", "ST")]:
-        kw = dict(sh_itr=20, lam=0.1, smooth_type=smooth_type,
+    for mode, cost_type, smooth_type in [
+            ("SinkhornOT", "eg", "ST"), ("SinkhornOT", "eg", "NG"),
+            ("SinkhornOT", "p1", "ST"), ("SinkhornOT", "ddg", "ST"),
+            ("EntropicOT", "eg", "ST"), ("EntropicOT", "eg", "NG"),
+            ("EntropicOT", "dg", "ST")]:
+        kw = dict(mode=mode, sh_itr=20, lam=0.1, smooth_type=smooth_type,
                   cost_type=cost_type)
-        dense = wass_rank(scores, labels, mask, mode="SinkhornOT", **kw)
+        dense = wass_rank(scores, labels, mask, **kw)
         cp = cp_wass_rank(scores, labels, mask, mesh, batch_axis="data", **kw)
         np.testing.assert_allclose(float(cp), float(dense), rtol=1e-5)
-        g_dense = jax.grad(lambda s: wass_rank(
-            s, labels, mask, mode="SinkhornOT", **kw))(scores)
+        g_dense = jax.grad(lambda s: wass_rank(s, labels, mask, **kw))(scores)
         g_cp = jax.grad(lambda s: cp_wass_rank(
             s, labels, mask, mesh, batch_axis="data", **kw))(scores)
         np.testing.assert_allclose(np.asarray(g_cp), np.asarray(g_dense),
-                                   rtol=1e-4, atol=1e-7)
+                                   rtol=1e-4, atol=1e-6)
 
 
 def test_distributed_resident_accepts_int8_dataset():
