@@ -16,10 +16,12 @@ from ptranking_tpu.parallel.mesh import (
     scorer_param_sharding,
 )
 from ptranking_tpu.parallel.mesh import make_hybrid_mesh
+from ptranking_tpu.parallel.ot import cp_wass_rank
 from ptranking_tpu.parallel.ring import (
     reference_attention,
     ring_attention,
     ring_lambda_loss,
+    ring_soft_rank,
     ulysses_attention,
 )
 from ptranking_tpu.parallel.pipeline import (
@@ -31,9 +33,11 @@ from ptranking_tpu.parallel.train import DistributedTrainer
 
 __all__ = [
     "make_hybrid_mesh",
+    "cp_wass_rank",
     "reference_attention",
     "ring_attention",
     "ring_lambda_loss",
+    "ring_soft_rank",
     "ulysses_attention",
     "gpipe",
     "pipeline_encoder_apply",

@@ -77,6 +77,9 @@ def grow_tree(
     num_bins: int,
     l2: float,
     min_child_hessian: float,
+    feat_mask: Optional[jnp.ndarray] = None,  # [F] bool; False = feature
+    #                                            not splittable this tree
+    #                                            (LightGBM feature_fraction)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Grow one depth-`depth` tree level-wise.
 
@@ -139,6 +142,8 @@ def grow_tree(
         gain = score(gl, hl) + score(gr, hr) - score(gt, ht)  # [nodes, F, bins]
         ok = (hl >= min_child_hessian) & (hr >= min_child_hessian)
         gain = jnp.where(ok, gain, -jnp.inf)
+        if feat_mask is not None:
+            gain = jnp.where(feat_mask[None, :, None], gain, -jnp.inf)
 
         flat = gain.reshape(num_nodes, F * num_bins)
         best = jnp.argmax(flat, axis=1)
@@ -212,6 +217,14 @@ class GBDTConfig:
     objective: str = "lambdarank_newton"  # key into CUSTOM_OBJECTIVES
     early_stopping_rounds: int = 200
     vali_k: int = 5
+    # stochastic regularization (LightGBM names/semantics, default off):
+    # feature_fraction draws a per-tree splittable-feature subset;
+    # bagging samples a QUERY subset every bagging_freq trees (group-aware
+    # bagging — LTR gradients are only exchangeable within a query)
+    feature_fraction: float = 1.0
+    bagging_fraction: float = 1.0
+    bagging_freq: int = 0
+    random_state: int = 137
 
     @classmethod
     def from_paras(cls, paras: Optional[dict], **overrides) -> "GBDTConfig":
@@ -285,13 +298,39 @@ class TPUGBDTRanker:
             vpreds = np.zeros(len(vtarget), np.float64)
             vali_best = -np.inf
 
+        F = data.shape[1]
+        rng = np.random.RandomState(cfg.random_state)
+        bagging = cfg.bagging_freq > 0 and cfg.bagging_fraction < 1.0
+        subsampling = bagging or cfg.feature_fraction < 1.0
+        doc_w = np.ones(len(target))
+        q_off = np.cumsum(np.concatenate([[0], group]))
+
         self.trees = []
         for t in range(cfg.num_trees):
             grad, hess = objective(target, preds, group)
+            feat_mask = None
+            if subsampling:
+                if cfg.feature_fraction < 1.0:
+                    k = max(1, int(round(cfg.feature_fraction * F)))
+                    chosen = rng.choice(F, size=k, replace=False)
+                    fm = np.zeros(F, bool)
+                    fm[chosen] = True
+                    feat_mask = jnp.asarray(fm)
+                if bagging and t % cfg.bagging_freq == 0:
+                    # group-aware bagging: in-bag QUERIES keep their docs'
+                    # (g, h); out-of-bag docs are zeroed — they then carry
+                    # no weight in histograms, gains, or Newton leaves
+                    kq = max(1, int(round(cfg.bagging_fraction * len(group))))
+                    in_bag = rng.choice(len(group), size=kq, replace=False)
+                    doc_w = np.zeros(len(target))
+                    for qi in in_bag:
+                        doc_w[q_off[qi]:q_off[qi + 1]] = 1.0
+                if bagging:
+                    grad, hess = grad * doc_w, hess * doc_w
             sf, sb, lv = grow_tree(
                 bins, jnp.asarray(grad, jnp.float32), jnp.asarray(hess, jnp.float32),
                 depth=cfg.max_depth, num_bins=cfg.num_bins, l2=cfg.l2,
-                min_child_hessian=cfg.min_child_hessian)
+                min_child_hessian=cfg.min_child_hessian, feat_mask=feat_mask)
             lv = lv * cfg.learning_rate
             self.trees.append((np.asarray(sf), np.asarray(sb), np.asarray(lv)))
             preds += np.asarray(predict_tree(bins, sf, sb, lv, cfg.max_depth), np.float64)

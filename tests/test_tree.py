@@ -213,6 +213,65 @@ def test_gbdt_learns_ranking_and_roundtrips(tmp_path):
     np.testing.assert_allclose(re.predict(te[0]), pred, rtol=1e-6)
 
 
+def test_gbdt_feature_fraction_restricts_splits():
+    """With feat_mask, real splits only use allowed features (no-op splits
+    — bin == num_bins - 1 — carry feature 0 regardless and don't count)."""
+    import jax.numpy as jnp
+
+    from ptranking_tpu.tree.jax_gbdt import grow_tree
+
+    rng = np.random.RandomState(5)
+    n, F, B = 256, 8, 16
+    bins = rng.randint(0, B, size=(n, F)).astype(np.int32)
+    grad = rng.randn(n).astype(np.float32)
+    hess = np.abs(rng.randn(n)).astype(np.float32) + 0.1
+    allowed = np.zeros(F, bool)
+    allowed[[1, 4, 6]] = True
+    sf, sb, _ = grow_tree(jnp.asarray(bins), jnp.asarray(grad),
+                          jnp.asarray(hess), depth=3, num_bins=B, l2=1.0,
+                          min_child_hessian=0.0,
+                          feat_mask=jnp.asarray(allowed))
+    real = np.asarray(sb) != B - 1
+    assert real.any()
+    assert set(np.asarray(sf)[real]) <= {1, 4, 6}
+
+
+def test_gbdt_stochastic_knobs_learn_and_are_deterministic():
+    """feature_fraction + group-aware bagging still learn ranking, and the
+    same random_state reproduces the identical forest."""
+    from ptranking_tpu.tree.jax_gbdt import GBDTConfig, TPUGBDTRanker, _ndcg_at_k
+
+    tr = _synthetic_rank_data(60, seed=0)
+    va = _synthetic_rank_data(15, seed=1)
+    te = _synthetic_rank_data(15, seed=2)
+    cfg = GBDTConfig(num_trees=40, max_depth=4, num_bins=16, learning_rate=0.2,
+                     early_stopping_rounds=40, feature_fraction=0.6,
+                     bagging_fraction=0.7, bagging_freq=2, random_state=11)
+    m1 = TPUGBDTRanker(cfg).fit(*tr, vali=va)
+    pred = m1.predict(te[0])
+    ndcg = _ndcg_at_k(pred, te[1], te[2], 5)
+    rand = _ndcg_at_k(np.random.RandomState(9).randn(len(te[1])), te[1], te[2], 5)
+    assert ndcg > rand + 0.2, (ndcg, rand)
+
+    m2 = TPUGBDTRanker(cfg).fit(*tr, vali=va)
+    assert len(m1.trees) == len(m2.trees)
+    for (f1, b1, v1), (f2, b2, v2) in zip(m1.trees, m2.trees):
+        np.testing.assert_array_equal(f1, f2)
+        np.testing.assert_array_equal(b1, b2)
+        np.testing.assert_allclose(v1, v2)
+
+
+def test_gbdt_from_paras_accepts_lightgbm_stochastic_keys():
+    from ptranking_tpu.tree.jax_gbdt import GBDTConfig
+
+    cfg = GBDTConfig.from_paras({"feature_fraction": 0.8,
+                                 "bagging_fraction": 0.9, "bagging_freq": 3,
+                                 "random_state": 42, "num_leaves": 32})
+    assert cfg.feature_fraction == 0.8 and cfg.bagging_fraction == 0.9
+    assert cfg.bagging_freq == 3 and cfg.random_state == 42
+    assert cfg.max_depth == 5
+
+
 def test_tree_evaluator_native_fallback(tmp_path):
     """kfold_cv_eval runs the native GBDT whether or not lightgbm exists."""
     from ptranking_tpu.tree import TreeLTREvaluator

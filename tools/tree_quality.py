@@ -42,14 +42,20 @@ def eval_ndcg5(scores_per_query, labels_per_query) -> float:
     return float(np.mean(vals))
 
 
-def run_gbdt(train, vali, test, seed: int) -> float:
+# nDCG@5-tuned small-data settings (sweep recorded in BASELINE.md): shallow
+# trees + fine bins + per-tree feature subsets counter the 120-query
+# protocol's overfit; big-data runs should keep the LightGBM-shaped defaults
+SMALL_DATA_RECIPE = dict(feature_fraction=0.7, max_depth=4, num_bins=255)
+
+
+def run_gbdt(train, vali, test, seed: int, **overrides) -> float:
     from ptranking_tpu.tree.jax_gbdt import GBDTConfig, TPUGBDTRanker
     from ptranking_tpu.tree.lambdamart import queries_to_flat
 
     x_tr, y_tr, g_tr = queries_to_flat(train)
     x_va, y_va, g_va = queries_to_flat(vali)
     x_te, y_te, g_te = queries_to_flat(test)
-    cfg = GBDTConfig.from_paras(None, early_stopping_rounds=50)
+    cfg = GBDTConfig.from_paras(None, early_stopping_rounds=50, **overrides)
     model = TPUGBDTRanker(cfg)
     model.fit(x_tr, y_tr, g_tr, vali=(x_va, y_va, g_va))
     preds = model.predict(x_te)
@@ -97,17 +103,20 @@ def main():
     for seed in (137, 7):
         train, vali, test = protocol_data(seed)
         g = run_gbdt(train, vali, test, seed)
+        gr = run_gbdt(train, vali, test, seed, **SMALL_DATA_RECIPE)
         n = run_neural(train, vali, test, seed)
         l = run_lightgbm(train, vali, test, seed)
-        rows.append((seed, g, n, l))
-        print(f"seed {seed}: TPUGBDTLambdaMART nDCG@5={g:.4f}  "
+        rows.append((seed, g, gr, n, l))
+        print(f"seed {seed}: TPUGBDT(defaults) nDCG@5={g:.4f}  "
+              f"TPUGBDT(small-data) nDCG@5={gr:.4f}  "
               f"LambdaRank+DASALC nDCG@5={n:.4f}  "
               f"LightGBM={'%.4f' % l if l is not None else 'unavailable'}",
               flush=True)
-    print("\n| seed | TPUGBDTLambdaMART | LambdaRank+DASALC | LightGBM |")
-    print("|---|---|---|---|")
-    for seed, g, n, l in rows:
-        print(f"| {seed} | {g:.4f} | {n:.4f} | "
+    print("\n| seed | TPUGBDT (defaults) | TPUGBDT (small-data recipe) "
+          "| LambdaRank+DASALC | LightGBM |")
+    print("|---|---|---|---|---|")
+    for seed, g, gr, n, l in rows:
+        print(f"| {seed} | {g:.4f} | {gr:.4f} | {n:.4f} | "
               f"{'%.4f' % l if l is not None else 'unavailable'} |")
 
 
