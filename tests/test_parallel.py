@@ -618,7 +618,8 @@ def test_cp_no_fallback_warnings():
 def test_cp_wass_rank_matches_dense():
     """Doc-sharded Sinkhorn == dense wass_rank: values and score-gradients,
     across cost types, both histogram smoothings and both OT modes, with
-    ragged masks."""
+    ragged masks including an all-padded remainder row (bucketed batches
+    produce those; it must stay out of the mean and carry finite grads)."""
     from ptranking_tpu.losses.wassrank import wass_rank
     from ptranking_tpu.parallel.ot import cp_wass_rank
 
@@ -627,7 +628,7 @@ def test_cp_wass_rank_matches_dense():
     scores = jax.random.normal(jax.random.PRNGKey(0), (B, N))
     labels = jax.random.randint(
         jax.random.PRNGKey(1), (B, N), 0, 3).astype(jnp.float32)
-    mask = jnp.arange(N)[None, :] < jnp.asarray([16, 13, 9, 16])[:, None]
+    mask = jnp.arange(N)[None, :] < jnp.asarray([16, 13, 0, 9])[:, None]
     labels = jnp.where(mask, labels, 0.0)
 
     for mode, cost_type, smooth_type in [
