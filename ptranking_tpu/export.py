@@ -32,7 +32,8 @@ MAGIC = b"PTRX"
 def export_scorer(ckpt_path: str, out_path: str, batch_docs: int = 100,
                   buckets: Optional[Sequence[int]] = None,
                   platforms: Optional[Sequence[str]] = None,
-                  max_docs: Optional[int] = None) -> Dict:
+                  max_docs: Optional[int] = None,
+                  quantize: str = "none") -> Dict:
     """Export a checkpoint's scorer to a multi-shape StableHLO artifact.
 
     One entry per padded bucket shape (B, N) with the same B-per-bucket
@@ -50,6 +51,13 @@ def export_scorer(ckpt_path: str, out_path: str, batch_docs: int = 100,
     from ptranking_tpu.train import AdhocRanker
 
     ranker = AdhocRanker.from_checkpoint(ckpt_path)
+    if quantize == "int8":
+        # bake per-channel int8 weights + the dynamic-activation-scale
+        # program into the artifact (models/quantize.py) — the served
+        # matmuls run the MXU integer path with no load-time step
+        ranker = ranker.quantized()
+    elif quantize != "none":
+        raise ValueError(f"unknown quantize {quantize!r}")
     params, cfg = ranker.params, ranker.scorer_cfg
     F = cfg.num_features
 
@@ -156,6 +164,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "1536 like the dataset's pick_buckets")
     p.add_argument("-platforms", default=None,
                    help="comma list, e.g. cpu,tpu (default: current backend)")
+    p.add_argument("-quantize", default="none", choices=("none", "int8"),
+                   help="int8: bake per-channel int8 weights into the "
+                        "artifact (MXU integer matmuls, quarter-size)")
     return p
 
 
@@ -163,7 +174,8 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     plats = args.platforms.split(",") if args.platforms else None
     blob = export_scorer(args.ckpt, args.out, batch_docs=args.batch_docs,
-                         platforms=plats, max_docs=args.max_docs)
+                         platforms=plats, max_docs=args.max_docs,
+                         quantize=args.quantize)
     print(f"exported {len(blob['entries'])} shapes "
           f"({blob['model_id']}, F={blob['num_features']}, "
           f"platforms={blob['platforms']}) -> {args.out}")

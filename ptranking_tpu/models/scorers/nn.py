@@ -75,6 +75,19 @@ def linear_init(key: jax.Array, d_in: int, d_out: int, dtype=jnp.float32) -> Par
 
 
 def linear_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    if "w_q" in p:
+        # int8 serving path (models/quantize.py): dynamic per-token
+        # activation scales, int8 x int8 -> int32 on the MXU (2x bf16
+        # peak), fp32 rescale by (a_t * s_c). Scales stay fp32 even under
+        # bf16 compute — they carry the dynamic range.
+        a_s = jnp.max(jnp.abs(x), axis=-1, keepdims=True).astype(jnp.float32)
+        a_s = jnp.maximum(a_s / 127.0, 1e-12)
+        x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / a_s),
+                       -127, 127).astype(jnp.int8)
+        acc = jnp.dot(x_q, p["w_q"], preferred_element_type=jnp.int32)
+        y = (acc.astype(jnp.float32) * (a_s * p["w_s"].astype(jnp.float32))
+             + p["b"].astype(jnp.float32))
+        return y.astype(x.dtype)
     # MXU-native mixed precision: bf16 operands accumulate in fp32, then the
     # result returns to the activation dtype so the NEXT matmul stays bf16
     y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32) + p["b"]

@@ -27,11 +27,15 @@ def build_parser() -> argparse.ArgumentParser:
     # ~100-doc batches: BN scorers normalize with BATCH statistics, so
     # serving must mirror the ~100-doc eval batches training validated
     p.add_argument("-batch_docs", type=int, default=100)
+    p.add_argument("-quantize", default="none", choices=("none", "int8"),
+                   help="int8: per-channel int8 weights + dynamic activation "
+                        "scales — the MXU integer path (checkpoints only)")
     return p
 
 
 def score_file(ckpt: str, in_path: str, out_path: str, data_id: str = "GLTR_LETOR",
-               runid: str = "ptranking_tpu", batch_docs: int = 100) -> int:
+               runid: str = "ptranking_tpu", batch_docs: int = 100,
+               quantize: str = "none") -> int:
     from ptranking_tpu.data.dataset import BucketedDataset
     from ptranking_tpu.data.letor import load_letor_file
     from ptranking_tpu.export import ExportedScorer, is_artifact
@@ -39,8 +43,19 @@ def score_file(ckpt: str, in_path: str, out_path: str, data_id: str = "GLTR_LETO
 
     # a .ptx StableHLO artifact (ptranking_tpu.export) serves directly —
     # no model code or retracing; otherwise a self-describing checkpoint
-    ranker = (ExportedScorer(ckpt) if is_artifact(ckpt)
-              else AdhocRanker.from_checkpoint(ckpt))
+    if is_artifact(ckpt):
+        if quantize != "none":
+            raise ValueError(
+                "-quantize applies when serving a checkpoint; a .ptx "
+                "artifact is already compiled — pass -quantize to "
+                "ptranking_tpu.export instead to bake int8 weights in")
+        ranker = ExportedScorer(ckpt)
+    else:
+        ranker = AdhocRanker.from_checkpoint(ckpt)
+        if quantize == "int8":
+            ranker = ranker.quantized()
+        elif quantize != "none":
+            raise ValueError(f"unknown -quantize {quantize!r}")
     queries = load_letor_file(in_path, data_id=data_id, min_docs=1, min_rele=0,
                               presort=False)
     ds = BucketedDataset(queries, batch_docs=batch_docs)
@@ -92,7 +107,8 @@ def _docids_by_qid(in_path: str, data_id: str):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     n = score_file(args.ckpt, args.in_path, args.out_path, data_id=args.data_id,
-                   runid=args.runid, batch_docs=args.batch_docs)
+                   runid=args.runid, batch_docs=args.batch_docs,
+                   quantize=args.quantize)
     print(f"wrote {n} rows to {args.out_path}")
 
 
