@@ -578,6 +578,7 @@ def test_cp_loss_zoo_matches_single_device(model, paras):
     ("ApproxNDCG", {"alpha": 10.0}),
     ("SoftRank", {"delta": 2.0}),
     ("WassRank", {"mode": "SinkhornOT", "sh_itr": 5}),
+    ("WassRank", {"mode": "EntropicOT", "sh_itr": 5}),
 ])
 def test_cp_loss_zoo_never_materialises_pair_matrix(model, paras):
     """The compiled CP step for the newly ring-routed losses holds no full
