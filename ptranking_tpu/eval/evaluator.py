@@ -30,6 +30,7 @@ LTR_ADHOC_MODELS = [
     "RankMSE", "RankNet", "LambdaRank", "ListNet", "STListNet", "ListMLE",
     "RankCosine", "ApproxNDCG", "LambdaLoss", "SoftRank", "MDPRank",
     "WassRank", "DASALC",
+    "NeuralNDCG",  # beyond-reference (losses/listwise.py::neural_ndcg)
 ]
 
 

@@ -365,6 +365,8 @@ MODEL_GRIDS: Dict[str, Dict[str, List[Any]]] = {
                  "smooth_type": ["ST"], "norm_type": ["BothST"], "non_rele_gap": [10],
                  "var_penalty": [2.718281828459045], "gain_base": [4]},
     "DASALC": {},
+    # beyond-reference model (no reference grid to mirror)
+    "NeuralNDCG": {"temperature": [1.0], "top_k": [None], "sinkhorn_iters": [10]},
 }
 
 # Debug-mode grid shrinks/variants (each reference grid_search debug branch).

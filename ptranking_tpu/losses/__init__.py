@@ -24,6 +24,7 @@ from ptranking_tpu.losses.listwise import (
     listmle,
     listnet,
     mdp_rank,
+    neural_ndcg,
     rank_cosine,
     soft_rank,
     st_listnet,
@@ -47,6 +48,9 @@ LOSSES: Dict[str, LossFn] = {
     "MDPRank": mdp_rank,
     "WassRank": wass_rank,
     "DASALC": listnet,  # ListNet loss on the DASALC listwise scorer (dasalc.py:8-36)
+    # beyond the reference: differentiable-sorting nDCG (PAPERS.md,
+    # arXiv:2102.07831) — the relaxed permutation is MXU-shaped matmuls
+    "NeuralNDCG": neural_ndcg,
 }
 
 # Per-model default hyper-parameters, mirroring each <Model>Parameter
@@ -69,6 +73,7 @@ DEFAULT_PARAS: Dict[str, Dict[str, Any]] = {
         "var_penalty": 2.718281828459045, "gain_base": 4.0,
     },  # wassRank.py:102-103
     "DASALC": {},
+    "NeuralNDCG": {"temperature": 1.0, "top_k": None, "sinkhorn_iters": 10},
 }
 
 # Models whose loss consumes a PRNG key every step.

@@ -280,3 +280,60 @@ def mdp_rank(scores, labels, mask, key: Optional[jax.Array] = None,
     lcse = logcumsumexp_reverse(action_preds, m)
     neg_log_probs = jnp.where(kmask, lcse - action_preds, 0.0)
     return jnp.sum(neg_log_probs * g_t)
+
+
+# --- NeuralNDCG (no reference counterpart) ----------------------------------
+
+
+def neural_ndcg(scores, labels, mask, temperature: float = 1.0,
+                top_k: Optional[int] = None, sinkhorn_iters: int = 10,
+                label_type: LabelType = LabelType.MultiLabel, **_):
+    """NeuralNDCG: nDCG through NeuralSort's relaxed permutation matrix.
+
+    Pobrotyn & Bialobrzeski, "NeuralNDCG: Direct Optimisation of a Ranking
+    Metric via Differentiable Relaxation of Sorting" (arXiv:2102.07831),
+    building on NeuralSort (Grover et al., ICLR 2019). Beyond the
+    reference's zoo (PAPERS.md) — included because the relaxation is pure
+    batched matmuls/softmaxes over the [N, N] permutation space, exactly
+    the shape the MXU wants.
+
+    Deterministic NeuralSort row i (1-indexed rank), valid docs only:
+        P[i, j] = softmax_j((n + 1 - 2 i) s_j - sum_k |s_j - s_k|) / tau
+    then `sinkhorn_iters` rounds of masked log-domain Sinkhorn scaling
+    toward a doubly-stochastic matrix (the paper's scaling step), smooth
+    gains ghat_i = sum_j P[i, j] gain_j, and
+        loss = -sum_b DCG(ghat) / maxDCG@k
+    with both DCG and maxDCG truncated at `top_k`. maxDCG uses the given
+    label order (training batches arrive presorted-ideal, see module
+    docstring). Mask-invariant; all-padded rows contribute exactly 0.
+    """
+    from ptranking_tpu.ops.sinkhorn import _NEG, _lse
+
+    N = scores.shape[-1]
+    n = jnp.sum(mask, axis=-1, keepdims=True).astype(scores.dtype)  # [B, 1]
+    s = jnp.where(mask, scores, 0.0)
+    diffs = jnp.abs(s[..., :, None] - s[..., None, :])
+    A = jnp.sum(jnp.where(pair_mask(mask), diffs, 0.0), axis=-1)    # [B, N]
+    ranks = jnp.arange(1, N + 1, dtype=scores.dtype)
+    c = n + 1.0 - 2.0 * ranks[None, :]                              # [B, N(i)]
+    logits = (c[..., :, None] * s[..., None, :] - A[..., None, :]) / temperature
+    row_ok = ranks[None, :] <= n                                    # [B, N(i)]
+    cell = row_ok[..., :, None] & mask[..., None, :]
+    log_p = masked_log_softmax(logits, cell)                        # rows sum to 1
+    log_p = jnp.where(cell, log_p, _NEG)
+    for _ in range(int(sinkhorn_iters)):
+        log_p = log_p - _lse(log_p, -2)[..., None, :]               # columns
+        log_p = jnp.where(cell, log_p, _NEG)
+        log_p = log_p - _lse(log_p, -1)[..., :, None]               # rows
+        log_p = jnp.where(cell, log_p, _NEG)
+    P = jnp.where(cell, jnp.exp(log_p), 0.0)
+
+    gains = gain(jnp.where(mask, labels, 0.0), label_type)
+    ghat = jnp.einsum("bij,bj->bi", P, gains)                       # [B, N(i)]
+    disc = 1.0 / jnp.log2(ranks + 1.0)
+    kmask = row_ok if top_k is None else (row_ok & (ranks <= min(top_k, N))[None])
+    dcg_b = jnp.sum(jnp.where(kmask, ghat * disc[None], 0.0), axis=-1)
+    # maxDCG@k over the given (presorted-ideal) order; position == rank
+    ideal_terms = jnp.where(kmask & mask, gains * disc[None], 0.0)
+    idcg_b = jnp.maximum(jnp.sum(ideal_terms, axis=-1), EPSILON)
+    return -jnp.sum(dcg_b / idcg_b)

@@ -412,3 +412,103 @@ def ring_soft_rank(
         out_specs=P(axis_name), **_SM_NOCHECK,
     )(scores, n_gains, mask)
     return out[0]
+
+
+def ring_neural_ndcg(
+    scores: jnp.ndarray,    # [B, N] raw scores; N sharded over axis_name
+    labels: jnp.ndarray,    # [B, N]
+    mask: jnp.ndarray,      # [B, N]
+    mesh: Mesh,
+    temperature: float = 1.0,
+    top_k=None,
+    sinkhorn_iters: int = 10,
+    label_type=None,
+    axis_name: str = "seq",
+    batch_axis=None,
+) -> jnp.ndarray:
+    """Doc-axis-sharded NeuralNDCG (losses/listwise.py::neural_ndcg).
+
+    The [N, N] relaxed permutation P is sharded over its RANK axis (the
+    same shards as the doc axis): each device holds its rank-row block
+    [B, n/P, N]. The O(N) vectors (scores, labels, the |s_j - s_k| row
+    sums) are all_gathered; the pairwise |s_j - s_k| reduction itself is
+    computed blockwise per device then gathered as a vector. Per Sinkhorn
+    scaling round the column normalisation costs one stop-gradiented pmax
+    + one psum across shards (the loss reverse-mode differentiates through
+    the scaling, so the LSE max-shift must carry no tangent); everything
+    else is device-local. Matches the dense loss exactly
+    (equivalence-tested in tests/test_parallel.py).
+    """
+    from ptranking_tpu import EPSILON
+    from ptranking_tpu.ops import gain as label_gain, masked_log_softmax
+    from ptranking_tpu.ops.sinkhorn import _NEG, _lse
+    from ptranking_tpu.parallel.ot import _plse_sg
+    from ptranking_tpu.types import LabelType
+
+    lt = LabelType.MultiLabel if label_type is None else label_type
+    P_ = mesh.shape[axis_name]  # noqa: F841  (documents the shard count)
+
+    def per_device(s_l, l_l, m_l):
+        n_l = s_l.shape[-1]
+        rows0 = jax.lax.axis_index(axis_name) * n_l + jnp.arange(n_l)
+        s_full = jax.lax.all_gather(s_l, axis_name, axis=1, tiled=True)
+        l_full = jax.lax.all_gather(l_l, axis_name, axis=1, tiled=True)
+        m_full = jax.lax.all_gather(m_l, axis_name, axis=1, tiled=True)
+        N = s_full.shape[-1]
+        n = jnp.sum(m_full, axis=-1, keepdims=True).astype(s_l.dtype)  # [B,1]
+
+        s_lm = jnp.where(m_l, s_l, 0.0)
+        s_fm = jnp.where(m_full, s_full, 0.0)
+        # A_j = sum_k |s_j - s_k|: local j block vs full k, then gather
+        blk = jnp.abs(s_lm[..., :, None] - s_fm[..., None, :])
+        valid_jk = m_l[..., :, None] & m_full[..., None, :]
+        A_l = jnp.sum(jnp.where(valid_jk, blk, 0.0), axis=-1)  # [B, n/P]
+        A_full = jax.lax.all_gather(A_l, axis_name, axis=1, tiled=True)
+
+        ranks_l = (rows0 + 1).astype(s_l.dtype)                 # global ranks
+        c_l = n + 1.0 - 2.0 * ranks_l[None, :]                  # [B, n/P]
+        logits = (c_l[..., :, None] * s_fm[..., None, :]
+                  - A_full[..., None, :]) / temperature
+        row_ok = ranks_l[None, :] <= n                          # [B, n/P]
+        cell = row_ok[..., :, None] & m_full[..., None, :]
+        log_p = masked_log_softmax(logits, cell)
+        log_p = jnp.where(cell, log_p, _NEG)
+        for _ in range(int(sinkhorn_iters)):
+            # column norm: LSE over the SHARDED rank axis
+            log_p = log_p - _plse_sg(log_p, -2, axis_name)[..., None, :]
+            log_p = jnp.where(cell, log_p, _NEG)
+            log_p = log_p - _lse(log_p, -1)[..., :, None]       # row norm
+            log_p = jnp.where(cell, log_p, _NEG)
+        Pm = jnp.where(cell, jnp.exp(log_p), 0.0)
+
+        gains_full = label_gain(jnp.where(m_full, l_full, 0.0), lt)
+        ghat = jnp.einsum("bij,bj->bi", Pm, gains_full)         # [B, n/P]
+        disc_l = 1.0 / jnp.log2(ranks_l + 1.0)
+        kmask_l = (row_ok if top_k is None
+                   else row_ok & (ranks_l <= min(int(top_k), N))[None])
+        dcg = jax.lax.psum(
+            jnp.sum(jnp.where(kmask_l, ghat * disc_l[None], 0.0), -1),
+            axis_name)                                          # [B] replicated
+
+        ranks_f = jnp.arange(1, N + 1, dtype=s_l.dtype)
+        disc_f = 1.0 / jnp.log2(ranks_f + 1.0)
+        krow_f = ((ranks_f[None, :] <= n) if top_k is None
+                  else (ranks_f[None, :] <= n)
+                  & (ranks_f <= min(int(top_k), N))[None])
+        ideal = jnp.where(krow_f & m_full, gains_full * disc_f[None], 0.0)
+        idcg = jnp.maximum(jnp.sum(ideal, axis=-1), EPSILON)
+
+        total = jnp.sum(dcg / idcg)
+        if batch_axis is not None:
+            axes = (tuple(batch_axis) if isinstance(batch_axis, (tuple, list))
+                    else (batch_axis,))
+            total = jax.lax.psum(total, axes)
+        return -total[None]
+
+    spec = P(batch_axis, axis_name)
+    out = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=P(axis_name), **_SM_NOCHECK,
+    )(scores, labels, mask)
+    return out[0]

@@ -40,7 +40,7 @@ class DistributedTrainer:
     # This is every O(N^2) loss in the zoo — WassRank's two OT modes both
     # run through the doc-sharded Sinkhorn (parallel/ot.py).
     CP_PAIR_LOSSES = ("LambdaRank", "RankNet", "LambdaLoss", "ApproxNDCG",
-                      "SoftRank", "WassRank")
+                      "SoftRank", "WassRank", "NeuralNDCG")
 
     stop_check_freq = 10  # reference stop_training cadence (base/ranker.py:496)
 
@@ -163,13 +163,14 @@ class DistributedTrainer:
           ApproxNDCG         -> ring_approx_ndcg   (blockwise rank sums)
           SoftRank           -> ring_soft_rank     (blockwise Gaussian ranks)
           WassRank           -> cp_wass_rank       (doc-sharded Sinkhorn OT)
+          NeuralNDCG         -> ring_neural_ndcg   (rank-row-sharded P_hat)
         """
         from ptranking_tpu.ops import gain as label_gain
         from ptranking_tpu.ops.sorting import sort_labels_by_scores
         from ptranking_tpu.parallel.ot import cp_wass_rank
         from ptranking_tpu.parallel.ring import (
             ring_approx_ndcg, ring_lambda_loss, ring_lambdaloss,
-            ring_soft_rank)
+            ring_neural_ndcg, ring_soft_rank)
 
         model_id, label_type = self.model_id, self.label_type
         paras = self.model_paras
@@ -214,6 +215,14 @@ class DistributedTrainer:
                     gain_base=float(paras.get("gain_base", 4.0)),
                     tl_af=paras.get("tl_af", "S"),
                     batch_axis=batch_axes)
+            if model_id == "NeuralNDCG":
+                top_k = paras.get("top_k")
+                return ring_neural_ndcg(
+                    scores, labels, mask, mesh,
+                    temperature=float(paras.get("temperature", 1.0)),
+                    top_k=None if top_k is None else int(top_k),
+                    sinkhorn_iters=int(paras.get("sinkhorn_iters", 10)),
+                    label_type=label_type, batch_axis=batch_axes)
             if model_id == "SoftRank":
                 # expected ranks over the GIVEN order, like the dense loss
                 idcg = rowwise_idcg(labels, mask)

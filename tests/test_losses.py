@@ -249,3 +249,38 @@ def test_lambda_loss1_weights_match_reference_formula():
     # log_weighted_probas[trunc_mask], no pair filter, diagonal included)
     ref = -np.sum(logp)
     np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+
+def test_neural_ndcg_low_temperature_matches_hard_ndcg():
+    """As tau -> 0 NeuralSort's relaxation hardens: the loss must equal
+    -sum of exact nDCG of the score-sorted lists (the metric it relaxes)."""
+    import numpy as np
+
+    scores, labels, mask = base_batch()
+    v = float(call("NeuralNDCG", scores, labels, mask,
+                   temperature=1e-4, sinkhorn_iters=0))
+    hard = 0.0
+    for b in range(scores.shape[0]):
+        n = int(mask[b].sum())
+        if n == 0:
+            continue
+        s = np.asarray(scores[b][:n])
+        l = np.asarray(labels[b][:n])
+        order = np.argsort(-s, kind="stable")
+        d = 1.0 / np.log2(np.arange(n) + 2)
+        dcg = float(((2.0 ** l[order] - 1) * d).sum())
+        idcg = float(((2.0 ** np.sort(l)[::-1] - 1) * d).sum())
+        if idcg > 0:
+            hard += dcg / idcg
+    assert abs(v + hard) < 1e-3, (v, hard)
+
+
+def test_neural_ndcg_top_k_truncates():
+    scores, labels, mask = base_batch()
+    full = float(call("NeuralNDCG", scores, labels, mask))
+    top1 = float(call("NeuralNDCG", scores, labels, mask, top_k=1))
+    assert full != top1
+    # top_k beyond the longest list is a no-op
+    same = float(call("NeuralNDCG", scores, labels, mask,
+                      top_k=scores.shape[1] + 10))
+    assert abs(full - same) < 1e-6

@@ -550,6 +550,7 @@ def test_pp_stages_guards():
     ("SoftRank", {"delta": 2.0, "top_k": 5}),
     ("WassRank", {"mode": "SinkhornOT", "sh_itr": 10, "lam": 0.1}),
     ("WassRank", {"mode": "EntropicOT", "sh_itr": 10, "lam": 0.1}),
+    ("NeuralNDCG", {"temperature": 1.0, "sinkhorn_iters": 5}),
 ])
 def test_cp_loss_zoo_matches_single_device(model, paras):
     """shard_docs=True routes LambdaLoss/ApproxNDCG/SoftRank through the
@@ -579,6 +580,7 @@ def test_cp_loss_zoo_matches_single_device(model, paras):
     ("SoftRank", {"delta": 2.0}),
     ("WassRank", {"mode": "SinkhornOT", "sh_itr": 5}),
     ("WassRank", {"mode": "EntropicOT", "sh_itr": 5}),
+    ("NeuralNDCG", {"sinkhorn_iters": 3}),
 ])
 def test_cp_loss_zoo_never_materialises_pair_matrix(model, paras):
     """The compiled CP step for the newly ring-routed losses holds no full
@@ -614,6 +616,36 @@ def test_cp_no_fallback_warnings():
                              ("SoftRank", None), ("LambdaLoss", None)]:
             DistributedTrainer(model, sf, mesh, shard_docs=True,
                                model_paras=paras)
+
+
+def test_ring_neural_ndcg_matches_dense():
+    """Rank-row-sharded NeuralNDCG == dense loss: values and
+    score-gradients, incl. top_k, raw NeuralSort (0 scaling iters), a
+    non-unit temperature, and an all-padded remainder row."""
+    from ptranking_tpu.losses.listwise import neural_ndcg
+    from ptranking_tpu.parallel.ring import ring_neural_ndcg
+
+    mesh = make_mesh(MeshConfig(data=2, seq=4))
+    B, N = 4, 16
+    scores = jax.random.normal(jax.random.PRNGKey(0), (B, N))
+    labels = jnp.sort(jax.random.randint(
+        jax.random.PRNGKey(1), (B, N), 0, 3).astype(jnp.float32), 1)[:, ::-1]
+    mask = jnp.arange(N)[None, :] < jnp.asarray([16, 13, 0, 9])[:, None]
+    labels = jnp.where(mask, labels, 0.0)
+
+    for kw in [dict(temperature=1.0, top_k=None, sinkhorn_iters=5),
+               dict(temperature=1.0, top_k=5, sinkhorn_iters=5),
+               dict(temperature=0.5, top_k=None, sinkhorn_iters=0)]:
+        dense = neural_ndcg(scores, labels, mask, **kw)
+        cp = ring_neural_ndcg(scores, labels, mask, mesh,
+                              batch_axis="data", **kw)
+        np.testing.assert_allclose(float(cp), float(dense), rtol=1e-5)
+        g_dense = jax.grad(
+            lambda s: neural_ndcg(s, labels, mask, **kw))(scores)
+        g_cp = jax.grad(lambda s: ring_neural_ndcg(
+            s, labels, mask, mesh, batch_axis="data", **kw))(scores)
+        np.testing.assert_allclose(np.asarray(g_cp), np.asarray(g_dense),
+                                   rtol=1e-4, atol=1e-6)
 
 
 def test_cp_wass_rank_matches_dense():
