@@ -44,11 +44,6 @@ class DistributedTrainer:
 
     stop_check_freq = 10  # reference stop_training cadence (base/ranker.py:496)
 
-    @staticmethod
-    def _cp_routed(model_id: str, paras: Dict[str, Any]) -> bool:
-        """Whether this loss's O(N^2) term runs sharded under shard_docs."""
-        return model_id in DistributedTrainer.CP_PAIR_LOSSES
-
     def __init__(
         self,
         model_id: str,
@@ -279,8 +274,7 @@ class DistributedTrainer:
 
             pp = PPPlan(self.mesh)
         cp_loss = (self._cp_pair_loss()
-                   if self.shard_docs and self._cp_routed(self.model_id,
-                                                          self.model_paras)
+                   if self.shard_docs and self.model_id in self.CP_PAIR_LOSSES
                    else None)
 
         def step(params, opt_state, key, features, labels, mask):

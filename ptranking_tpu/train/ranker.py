@@ -261,8 +261,14 @@ class AdhocRanker:
         per-epoch StepLR lr, per-batch optimizer step, NaN/zero guard every
         stop_check_freq epochs.
         """
+        from ptranking_tpu.models.quantize import is_quantized
         from ptranking_tpu.utils.chunking import iter_shape_chunks
 
+        if is_quantized(self.params):
+            raise RuntimeError(
+                "this ranker holds int8-quantized inference params "
+                "(AdhocRanker.quantized()); rounding has no gradient — "
+                "train the original ranker instead")
         self.opt_state = set_lr(self.opt_state, epoch_lr(self.opt_cfg, epoch_k))
         check = (epoch_k % self.stop_check_freq) == 0
         losses, num_queries = [], 0

@@ -58,9 +58,12 @@ def test_quantized_view_is_inference_only():
     r = _trained("pointsf")
     q = r.quantized()
     assert q.opt_state is None
-    # original keeps training
     tr = BucketedDataset(make_synthetic_queries(32, num_features=F, seed=3),
                          batch_docs=512)
+    # training the quantized view fails loudly, not with a gradient of zeros
+    with pytest.raises(RuntimeError, match="int8-quantized"):
+        q.train_epoch(tr.batches())
+    # original keeps training
     loss, stop = r.train_epoch(tr.batches())
     assert np.isfinite(loss) and not stop
 

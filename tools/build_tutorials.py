@@ -623,13 +623,15 @@ NOTEBOOKS["ptranking_tpu_empirical_risk_minimization"] = [
     print(sorted(LOSSES))
     """),
     md("""
-    ## 2. One experiment, five surrogates
+    ## 2. One experiment, six surrogates
 
     Same scorer, same optimizer, same data — only the empirical risk
     changes. (Pointwise) RankMSE regresses labels; (pairwise) RankNet
     classifies pairs; (listwise) ListNet matches top-1 permutation
     probabilities, ListMLE maximizes the Plackett–Luce likelihood of the
-    ideal order, and ApproxNDCG differentiates a smoothed nDCG directly.
+    ideal order, ApproxNDCG differentiates a smoothed nDCG directly, and
+    NeuralNDCG pushes the metric through NeuralSort's relaxed permutation
+    matrix (a beyond-reference model, arXiv:2102.07831).
     """),
     code("""
     from ptranking_tpu.data.dataset import BucketedDataset, make_synthetic_queries
@@ -643,7 +645,7 @@ NOTEBOOKS["ptranking_tpu_empirical_risk_minimization"] = [
     test_ds = BucketedDataset(make_synthetic_queries(96, num_features=F, seed=22),
                               batch_docs=1024)
 
-    MODELS = ["RankMSE", "RankNet", "ListNet", "ListMLE", "ApproxNDCG"]
+    MODELS = ["RankMSE", "RankNet", "ListNet", "ListMLE", "ApproxNDCG", "NeuralNDCG"]
     results = {}
     for model_id in MODELS:
         r = AdhocRanker(model_id, ScorerConfig(sf_id="pointsf", num_features=F),

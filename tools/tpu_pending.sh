@@ -20,8 +20,15 @@ mkdir -p "$OUT"
 export PYTHONPATH="/root/repo:/root/.axon_site"   # APPEND axon site — never drop it
 
 echo "== probe ==" | tee "$OUT/probe.txt"
-timeout 120 python -c "import jax; print(jax.devices())" 2>&1 | tail -2 | tee -a "$OUT/probe.txt"
-grep -q "axon\|TPU\|Tpu" "$OUT/probe.txt" || { echo "tunnel still down; aborting"; exit 1; }
+# the probe must EXIT 0 *and* print a device list — error tracebacks also
+# mention "axon", so matching text alone false-positives on a dead tunnel
+if ! timeout 120 python -c "import jax; d=jax.devices(); print(d); assert d" \
+        > "$OUT/probe_out.txt" 2>&1; then
+  tail -3 "$OUT/probe_out.txt" | tee -a "$OUT/probe.txt"
+  echo "tunnel still down; aborting"; exit 1
+fi
+tail -2 "$OUT/probe_out.txt" | tee -a "$OUT/probe.txt"
+grep -qi "axon\|tpu" "$OUT/probe_out.txt" || { echo "no TPU device; aborting"; exit 1; }
 
 echo "== bench.py sweep (budgeted) =="
 BENCH_BUDGET_S=1200 timeout 1500 python bench.py > "$OUT/bench_sweep.json" 2> "$OUT/bench_sweep.log"
