@@ -53,18 +53,23 @@ def make_mesh(cfg: Optional[MeshConfig] = None, devices: Optional[Sequence] = No
     return Mesh(arr, ("data", "model", "seq"))
 
 
-def make_hybrid_mesh(ici_cfg: Optional[MeshConfig] = None) -> Mesh:
+def make_hybrid_mesh(ici_cfg: Optional[MeshConfig] = None,
+                     dcn: Optional[int] = None) -> Mesh:
     """Multi-host mesh: a leading `dcn` axis spans hosts (data parallelism
     over the slower data-center network) while the (data, model, seq) axes
     stay within each host's ICI domain. Collectives on `dcn` ride DCN; all
     TP/CP traffic stays on ICI (SURVEY §5.8). Single-process runs get a
-    dcn axis of size 1 so downstream PartitionSpecs are uniform."""
+    dcn axis of size 1 so downstream PartitionSpecs are uniform — pass
+    `dcn=k` to EMULATE k hosts by splitting the local devices over the
+    leading axis instead (how the test suite exercises the cross-host
+    sharding semantics on the virtual CPU mesh)."""
     procs = jax.process_count()
     local = jax.local_device_count()
-    if ici_cfg is None:
-        ici_cfg = MeshConfig(data=local)
-    assert ici_cfg.num_devices == local, (ici_cfg, local)
     if procs > 1:
+        assert dcn is None or dcn == procs, (dcn, procs)
+        if ici_cfg is None:
+            ici_cfg = MeshConfig(data=local)
+        assert ici_cfg.num_devices == local, (ici_cfg, local)
         from jax.experimental import mesh_utils
 
         arr = mesh_utils.create_hybrid_device_mesh(
@@ -72,8 +77,13 @@ def make_hybrid_mesh(ici_cfg: Optional[MeshConfig] = None) -> Mesh:
             dcn_mesh_shape=(procs, 1, 1, 1),
         )
     else:
-        arr = np.asarray(jax.devices()[: ici_cfg.num_devices]).reshape(
-            1, ici_cfg.data, ici_cfg.model, ici_cfg.seq)
+        dcn = dcn or 1
+        if ici_cfg is None:
+            ici_cfg = MeshConfig(data=local // dcn)
+        n = dcn * ici_cfg.num_devices
+        assert n <= local, (dcn, ici_cfg, local)
+        arr = np.asarray(jax.devices()[:n]).reshape(
+            dcn, ici_cfg.data, ici_cfg.model, ici_cfg.seq)
     return Mesh(arr, ("dcn", "data", "model", "seq"))
 
 

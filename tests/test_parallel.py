@@ -313,6 +313,38 @@ def test_make_hybrid_mesh_single_process():
 
     m = make_hybrid_mesh(MeshConfig(data=4, model=2, seq=1))
     assert dict(m.shape) == {"dcn": 1, "data": 4, "model": 2, "seq": 1}
+    m2 = make_hybrid_mesh(MeshConfig(data=2, seq=2), dcn=2)
+    assert dict(m2.shape) == {"dcn": 2, "data": 2, "model": 1, "seq": 2}
+
+
+@pytest.mark.parametrize("model,paras", [
+    ("LambdaRank", {"sigma": 1.0}),
+    ("WassRank", {"mode": "SinkhornOT", "sh_itr": 10}),
+])
+def test_hybrid_mesh_training_matches_single_device(model, paras):
+    """DistributedTrainer over an EMULATED two-host hybrid mesh
+    (dcn=2 x data=2 x seq=2): DP spans the dcn axis, CP the seq axis, and
+    every CP loss's batch reductions must psum over BOTH batch axes —
+    training matches the dense single-device path exactly."""
+    from ptranking_tpu.parallel import make_hybrid_mesh
+
+    sf = ScorerConfig(sf_id="pointsf", num_features=24, num_layers=2, h_dim=32,
+                      dropout=0.0, apply_tl_af=False, BN=False)
+    qs = make_synthetic_queries(num_queries=32, num_features=24, seed=3,
+                                min_docs=8, max_docs=16)
+    ds = BucketedDataset(qs, batch_docs=16 * 16, buckets=(16,))
+    batches = list(ds.batches())
+
+    def run(mesh, shard_docs):
+        tr = DistributedTrainer(model, sf, mesh, model_paras=paras,
+                                shard_docs=shard_docs,
+                                opt_cfg=OptimizerConfig(opt="Adam", lr=1e-3)).init()
+        return [tr.train_step(batches[i % len(batches)]) for i in range(4)]
+
+    hybrid = make_hybrid_mesh(MeshConfig(data=2, seq=2), dcn=2)
+    losses_h = run(hybrid, True)
+    losses_1 = run(make_mesh(MeshConfig(data=1)), False)
+    np.testing.assert_allclose(losses_h, losses_1, rtol=2e-3)
 
 
 def test_pipeline_encoder_allrank():
