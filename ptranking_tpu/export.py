@@ -119,6 +119,9 @@ class ExportedScorer:
         self.num_features = self._blob["num_features"]
         self.batch_docs = self._blob["batch_docs"]
         self.model_id = self._blob["model_id"]
+        # the bucket widths this artifact has compiled entries for — callers
+        # bucketing inputs themselves (ptranking_tpu.serve) must use these
+        self.buckets = tuple(sorted({n for _, n in self._blob["entries"]}))
         self._fns = {}
 
     def _fn(self, shape: Tuple[int, int]):

@@ -33,29 +33,36 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def score_file(ckpt: str, in_path: str, out_path: str, data_id: str = "GLTR_LETOR",
-               runid: str = "ptranking_tpu", batch_docs: int = 100,
-               quantize: str = "none") -> int:
-    from ptranking_tpu.data.dataset import BucketedDataset
-    from ptranking_tpu.data.letor import load_letor_file
+def load_ranker(ckpt: str, quantize: str = "none"):
+    """Shared serving loader (score_file + ptranking_tpu.serve): a .ptx
+    StableHLO artifact (ptranking_tpu.export) serves directly — no model
+    code or retracing — otherwise a self-describing checkpoint, optionally
+    int8-quantized (models/quantize.py)."""
     from ptranking_tpu.export import ExportedScorer, is_artifact
     from ptranking_tpu.train import AdhocRanker
 
-    # a .ptx StableHLO artifact (ptranking_tpu.export) serves directly —
-    # no model code or retracing; otherwise a self-describing checkpoint
     if is_artifact(ckpt):
         if quantize != "none":
             raise ValueError(
                 "-quantize applies when serving a checkpoint; a .ptx "
                 "artifact is already compiled — pass -quantize to "
                 "ptranking_tpu.export instead to bake int8 weights in")
-        ranker = ExportedScorer(ckpt)
-    else:
-        ranker = AdhocRanker.from_checkpoint(ckpt)
-        if quantize == "int8":
-            ranker = ranker.quantized()
-        elif quantize != "none":
-            raise ValueError(f"unknown -quantize {quantize!r}")
+        return ExportedScorer(ckpt)
+    ranker = AdhocRanker.from_checkpoint(ckpt)
+    if quantize == "int8":
+        return ranker.quantized()
+    if quantize != "none":
+        raise ValueError(f"unknown -quantize {quantize!r}")
+    return ranker
+
+
+def score_file(ckpt: str, in_path: str, out_path: str, data_id: str = "GLTR_LETOR",
+               runid: str = "ptranking_tpu", batch_docs: int = 100,
+               quantize: str = "none") -> int:
+    from ptranking_tpu.data.dataset import BucketedDataset
+    from ptranking_tpu.data.letor import load_letor_file
+
+    ranker = load_ranker(ckpt, quantize)
     queries = load_letor_file(in_path, data_id=data_id, min_docs=1, min_rele=0,
                               presort=False)
     ds = BucketedDataset(queries, batch_docs=batch_docs)

@@ -41,25 +41,24 @@ class ScoringService:
     tests; no sockets involved)."""
 
     def __init__(self, ckpt: str, quantize: str = "none",
-                 batch_docs: int = 100):
-        from ptranking_tpu.export import ExportedScorer, is_artifact
-        from ptranking_tpu.train import AdhocRanker
+                 batch_docs: Optional[int] = None):
+        from ptranking_tpu.score import load_ranker
 
-        if is_artifact(ckpt):
-            if quantize != "none":
-                raise ValueError("quantize artifacts at export time "
-                                 "(ptranking_tpu.export -quantize int8)")
-            self.ranker = ExportedScorer(ckpt)
-        else:
-            self.ranker = AdhocRanker.from_checkpoint(ckpt)
-            if quantize == "int8":
-                self.ranker = self.ranker.quantized()
-            elif quantize != "none":
-                raise ValueError(f"unknown quantize {quantize!r}")
+        self.ranker = load_ranker(ckpt, quantize)
         self.num_features = int(getattr(self.ranker, "num_features", 0)
                                 or self.ranker.scorer_cfg.num_features)
         self.model_id = self.ranker.model_id
-        self.batch_docs = batch_docs
+        # artifacts only carry compiled entries for the batch_docs they were
+        # exported with — default to (and validate against) that recording
+        artifact_bd = getattr(self.ranker, "batch_docs", None)
+        if batch_docs is None:
+            self.batch_docs = int(artifact_bd or 100)
+        else:
+            if artifact_bd is not None and int(batch_docs) != int(artifact_bd):
+                raise ValueError(
+                    f"artifact was exported with batch_docs={artifact_bd}; "
+                    f"serve with that value (got {batch_docs})")
+            self.batch_docs = int(batch_docs)
 
     def info(self) -> dict:
         return {"ok": True, "model_id": self.model_id,
@@ -84,11 +83,16 @@ class ScoringService:
             parsed.append((qid, docs, np.zeros(len(docs), np.float32), docids))
 
         # one bucketed pass over the whole request (same padding scheme as
-        # training); qids are positional indices into `parsed`
+        # training); qids are positional indices into `parsed`. Artifacts
+        # only carry entries for their exported bucket widths.
+        kw = {}
+        art_buckets = getattr(self.ranker, "buckets", None)
+        if art_buckets:
+            kw["buckets"] = art_buckets
         ds = BucketedDataset([(str(k), f, l) for k, (_, f, l, _) in
                               enumerate(parsed)],
                              batch_docs=self.batch_docs,
-                             num_features=self.num_features)
+                             num_features=self.num_features, **kw)
         results = [None] * len(parsed)
         for batch in ds.batches():
             scores = np.asarray(self.ranker.predict(batch))
@@ -100,10 +104,13 @@ class ScoringService:
                 qid, _, _, docids = parsed[k]
                 n = int(mask[row].sum())
                 order = np.argsort(-scores[row, :n], kind="stable")
+                # strict-JSON contract: NaN/Infinity tokens are not JSON —
+                # non-finite scores (degenerate inputs) become null
+                vals = [float(scores[row, j]) for j in order]
                 results[k] = {
                     "qid": qid,
                     "docids": [docids[j] for j in order],
-                    "scores": [float(scores[row, j]) for j in order],
+                    "scores": [v if np.isfinite(v) else None for v in vals],
                 }
         return {"results": results}
 
@@ -132,11 +139,17 @@ def make_server(service: ScoringService, host: str = "127.0.0.1",
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 payload = json.loads(self.rfile.read(length) or b"{}")
-                self._send(200, service.score(payload))
-            except ValueError as exc:
-                self._send(400, {"error": str(exc)})
-            except Exception as exc:  # malformed JSON etc.
+            except Exception as exc:  # malformed JSON / bad headers
                 self._send(400, {"error": f"{type(exc).__name__}: {exc}"})
+                return
+            try:
+                self._send(200, service.score(payload))
+            except ValueError as exc:  # bad request shape/width
+                self._send(400, {"error": str(exc)})
+            except Exception as exc:
+                # server-side fault (e.g. an artifact exported for another
+                # platform or batch_docs) — NOT the client's doing
+                self._send(500, {"error": f"{type(exc).__name__}: {exc}"})
 
         def log_message(self, fmt, *args):  # quiet by default
             pass
@@ -150,7 +163,9 @@ def main(argv: Optional[list] = None):
                    help="self-describing checkpoint (.pkl) or artifact (.ptx)")
     p.add_argument("-host", default="127.0.0.1")
     p.add_argument("-port", type=int, default=8080)
-    p.add_argument("-batch_docs", type=int, default=100)
+    p.add_argument("-batch_docs", type=int, default=None,
+                   help="docs per padded batch (default: the artifact's "
+                        "recorded value, else 100)")
     p.add_argument("-quantize", default="none", choices=("none", "int8"))
     args = p.parse_args(argv)
     service = ScoringService(args.ckpt, quantize=args.quantize,

@@ -83,6 +83,32 @@ def test_serve_scores_and_errors(ckpt):
         assert status == 400 and "docs must be" in err["error"]
         status, err = _post(f"{base}/score", {"nope": 1})
         assert status == 400
+
+        # non-finite scores become JSON null, never NaN/Infinity tokens
+        status, out = _post(f"{base}/score", {"queries": [
+            {"qid": "big", "docs": (np.full((2, F), 1e38)).tolist()}]})
+        assert status == 200
+        for v in out["results"][0]["scores"]:
+            assert v is None or np.isfinite(v)
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_serve_artifact_batch_docs_contract(ckpt, tmp_path):
+    """An artifact only has compiled entries for its exported batch_docs:
+    the service defaults to the recorded value and rejects a mismatch at
+    startup instead of 400-ing every request."""
+    from ptranking_tpu.export import export_scorer
+    from ptranking_tpu.serve import ScoringService
+
+    path, _ = ckpt
+    art = str(tmp_path / "m.ptx")
+    export_scorer(path, art, batch_docs=64, buckets=(8,))
+    svc = ScoringService(art)
+    assert svc.batch_docs == 64
+    rng = np.random.RandomState(1)
+    out = svc.score({"queries": [{"qid": "q", "docs": rng.randn(5, F).tolist()}]})
+    assert len(out["results"][0]["docids"]) == 5
+    with pytest.raises(ValueError, match="exported with batch_docs=64"):
+        ScoringService(art, batch_docs=100)

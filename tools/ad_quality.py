@@ -12,8 +12,6 @@ Usage: env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python -m tools.ad_quality
 
 from __future__ import annotations
 
-import numpy as np
-
 
 def protocol_data(seed: int, F: int = 32):
     from ptranking_tpu.data.dataset import BucketedDataset, make_synthetic_queries

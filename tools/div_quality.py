@@ -11,8 +11,6 @@ Usage: env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python -m tools.div_quality
 
 from __future__ import annotations
 
-import numpy as np
-
 
 def protocol_data(seed: int, F: int = 32):
     from ptranking_tpu.diversification.data import (
