@@ -244,8 +244,10 @@ class DivRanker:
             from ptranking_tpu.data.device_cache import DivDeviceResidentDataset
 
             if isinstance(batches, DivDeviceResidentDataset):
+                from ptranking_tpu.train.ranker import EVAL_CHUNK
+
                 for bucket, idx_k, _ in batches.epoch_index_chunks(
-                        False, 0, 4 * max(self.scan_steps, 1)):
+                        False, 0, EVAL_CHUNK):
                     q, d, rm, dm, sm = batches.bucket_arrays(bucket)
                     packed_rows.append(self._eval_gather(
                         self.params, q, d, rm, dm, sm, jnp.asarray(idx_k), ks))

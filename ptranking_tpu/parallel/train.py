@@ -59,7 +59,7 @@ class DistributedTrainer:
         #                         pipeline over the `model` axis at INFERENCE
         #                         (predict/evaluate); training stays DP/TP/CP
         #                         (docs/parallel.md records the reasoning)
-        scan_steps: int = 8,    # batches per fused device dispatch
+        scan_steps: int = 32,   # batches per fused device dispatch (K-sweep, BASELINE.md)
         seed: int = 137,
     ):
         self.model_id = model_id
@@ -542,11 +542,11 @@ class DistributedTrainer:
         return total / max(res.num_queries, 1), False
 
     def _evaluate_resident(self, res, ks):
-        from ptranking_tpu.train.ranker import _reduce_packed_rows
+        from ptranking_tpu.train.ranker import EVAL_CHUNK, _reduce_packed_rows
 
         arrs = self._mesh_resident(res)
         packed_rows = []
-        for bucket, idx_k, _ in res.epoch_index_chunks(False, 0, 4 * self.scan_steps):
+        for bucket, idx_k, _ in res.epoch_index_chunks(False, 0, EVAL_CHUNK):
             f, l, m = arrs[bucket]
             packed_rows.append(self._eval_gather(
                 self.params, f, l, m, jnp.asarray(idx_k), ks))

@@ -43,6 +43,12 @@ from ptranking_tpu.types import LabelType, RankingBatch
 # input that shapes the traced computation.
 _COMPILED_CACHE: Dict[Any, Tuple[Any, Any, Any, Any]] = {}
 
+# Fused-dispatch chunk size for gather-fused EVALUATION (batches per device
+# dispatch). Fixed by measurement (tools/bench_dispatch.py eval column):
+# throughput peaks at 64 and is flat-to-worse beyond, independent of the
+# train-side scan_steps.
+EVAL_CHUNK = 64
+
 
 def _freeze(v):
     if isinstance(v, dict):
@@ -84,13 +90,17 @@ class AdhocRanker:
         opt_cfg: Optional[OptimizerConfig] = None,
         label_type: LabelType = LabelType.MultiLabel,
         seed: int = LTR_SEED,
-        scan_steps: int = 8,
+        scan_steps: int = 32,
     ):
         if model_id in REQUIRES_LISTSF and not scorer_cfg.sf_id.startswith("listsf"):
             scorer_cfg = ScorerConfig.default_listsf(scorer_cfg.num_features)
         # batches per fused device dispatch (lax.scan); 1 = one dispatch per
         # batch (the reference's structure). >1 only changes the PRNG stream
-        # assignment, not semantics — see _build_step's scan_step
+        # assignment, not semantics — see _build_step's scan_step. Default 32
+        # by measurement (tools/bench_dispatch.py, BASELINE.md K-sweep): the
+        # tunneled chip's 1-8 ms/dispatch still dominates at K=8 (1.7k
+        # lists/s) and plateaus from K=32 (6.7k); tails/boundaries run
+        # per-step so no remainder-K program is compiled either way.
         self.scan_steps = max(int(scan_steps), 1)
         self.model_id = model_id
         self.scorer_cfg = scorer_cfg
@@ -398,11 +408,12 @@ class AdhocRanker:
     def _evaluate_resident(self, res, ks) -> Dict[str, np.ndarray]:
         """Gather-fused dataset evaluation over a DeviceResidentDataset.
 
-        Eval chunks 4x the train chunk size: evaluation has no donated
-        buffers or optimizer state, so bigger fused chunks only cut dispatch
-        count (the dominant cost on a remote-attached chip)."""
+        Eval chunk size is fixed at 64: evaluation has no donated buffers or
+        optimizer state, so fused chunks only cut dispatch count — and the
+        K-sweep (tools/bench_dispatch.py) measured eval peaking at chunk 64
+        (27.1k lists/s vs 23.6k at 128), independent of the train K."""
         packed_rows = []
-        for bucket, idx_k, _ in res.epoch_index_chunks(False, 0, 4 * self.scan_steps):
+        for bucket, idx_k, _ in res.epoch_index_chunks(False, 0, EVAL_CHUNK):
             f, l, m = res.bucket_arrays(bucket)
             packed_rows.append(self._compiled_eval_gather(
                 self.params, f, l, m, jnp.asarray(idx_k), ks))
