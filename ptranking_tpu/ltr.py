@@ -97,7 +97,8 @@ def main(argv=None):
     return evaluator.run(
         debug=args.debug, model_id=args.model, sf_id=args.sf_id,
         config_with_json=args.dir_json is not None, dir_json=args.dir_json,
-        data_id=args.data_id, dir_data=args.dir_data, dir_output=args.dir_output,
+        data_id=args.data_id or "SyntheticMQ", dir_data=args.dir_data,
+        dir_output=args.dir_output,
         grid_search=args.grid, reproduce=args.reproduce,
     )
 
