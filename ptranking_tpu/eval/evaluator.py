@@ -35,8 +35,13 @@ LTR_ADHOC_MODELS = [
 
 
 class LTREvaluator:
-    def __init__(self, cuda: Optional[int] = None):
+    def __init__(self, cuda: Optional[int] = None,
+                 mesh_overrides: Optional[Dict[str, Any]] = None):
         self.cuda = cuda  # accepted for CLI parity; device selection is jax-global
+        # CLI-level mesh knobs (-mesh/-tp/-shard_docs/...): merged into every
+        # eval_dict over JSON values; see EvalSetting overrides
+        self.mesh_overrides = mesh_overrides
+        self._mesh_cache: Dict[Any, Any] = {}
 
     # ----------------------------------------------------------- file layout
 
@@ -131,15 +136,39 @@ class LTREvaluator:
 
     # -------------------------------------------------------------- rankers
 
-    def load_ranker(self, sf_para, model_para_dict, label_type) -> AdhocRanker:
+    def load_ranker(self, sf_para, model_para_dict, label_type, eval_dict=None):
         """Reference load_ranker (ltr.py:156-178), minus the reflection —
-        the registry covers the full implemented model set."""
+        the registry covers the full implemented model set. When the eval
+        settings carry a `mesh` axis-size dict, the whole lifecycle (k-fold
+        CV, grid, reproduce — validation tape, best checkpoint, stop guard,
+        resume) runs through the mesh-parallel DistributedTrainer instead of
+        the single-chip ranker; the two expose the same train/eval/save/load
+        surface and interchangeable checkpoints."""
         model_id = model_para_dict["model_id"]
         paras = {k: v for k, v in model_para_dict.items() if k != "model_id"}
+        mesh_dict = (eval_dict or {}).get("mesh")
+        if mesh_dict:
+            from ptranking_tpu.parallel.train import DistributedTrainer
+
+            kwargs = {k: eval_dict[k] for k in
+                      ("tp", "shard_docs", "cp_impl", "pp_stages",
+                       "scan_steps", "eval_chunk") if eval_dict.get(k) is not None}
+            return DistributedTrainer(
+                model_id, sf_para["scorer"], self._get_mesh(mesh_dict),
+                model_paras=paras, opt_cfg=sf_para["optimizer"],
+                label_type=label_type, **kwargs,
+            )
         return AdhocRanker(
             model_id, sf_para["scorer"], model_paras=paras,
             opt_cfg=sf_para["optimizer"], label_type=label_type,
         )
+
+    def _get_mesh(self, mesh_dict):
+        """Device mesh for a {"data":…, "model":…, "seq":…, "dcn":…}
+        axis-size dict (parallel/mesh.py::mesh_from_dict, cached there)."""
+        from ptranking_tpu.parallel.mesh import mesh_from_dict
+
+        return mesh_from_dict(mesh_dict)
 
     # --------------------------------------------------------------- output
 
@@ -198,7 +227,8 @@ class LTREvaluator:
 
         cv_tape = CVTape(model_id, fold_num, cutoffs, do_vali)
         for fold_k in range(1, fold_num + 1):
-            ranker = self.load_ranker(sf_para, model_para_dict, data_dict["label_type"])
+            ranker = self.load_ranker(sf_para, model_para_dict,
+                                      data_dict["label_type"], eval_dict)
             ranker.seed = 137 + fold_k
             ranker.init()
             if (eval_dict.get("device_resident_dtype") is None
@@ -243,10 +273,12 @@ class LTREvaluator:
                 if resident:
                     epoch_loss, stop = ranker.train_epoch_resident(train, epoch_k)
                 else:
-                    epoch_loss, stop = ranker.train_epoch(
-                        prefetch_to_device(train.batches(shuffle=True, epoch=epoch_k)),
-                        epoch_k=epoch_k,
-                    )
+                    batches = train.batches(shuffle=True, epoch=epoch_k)
+                    if not eval_dict.get("mesh"):
+                        # mesh trainers device_put with their own shardings;
+                        # a single-device prefetch would fight that placement
+                        batches = prefetch_to_device(batches)
+                    epoch_loss, stop = ranker.train_epoch(batches, epoch_k=epoch_k)
                 train_s += time.time() - t_ep  # train-only window
                 if not stop:
                     epochs_ran += 1
@@ -310,7 +342,8 @@ class LTREvaluator:
         cv_tape = CVTape(model_id, fold_num, eval_dict["cutoffs"], eval_dict["do_validation"],
                          reproduce=True, dir_run=dir_run)
         for fold_k in range(1, fold_num + 1):
-            ranker = self.load_ranker(sf_para, model_para_dict, data_dict["label_type"])
+            ranker = self.load_ranker(sf_para, model_para_dict,
+                                      data_dict["label_type"], eval_dict)
             ranker.init()
             ckpt = get_opt_model(os.path.join(dir_run, f"Fold-{fold_k}"))
             assert ckpt, f"no checkpoint for fold {fold_k} under {dir_run}"
@@ -326,12 +359,14 @@ class LTREvaluator:
             data_eval_sf_json = os.path.join(dir_json, "Data_Eval_ScoringFunction.json")
             para_json = os.path.join(dir_json, f"{model_id}Parameter.json")
             self.data_setting = DataSetting(debug, data_json=data_eval_sf_json)
-            self.eval_setting = EvalSetting(debug, eval_json=data_eval_sf_json)
+            self.eval_setting = EvalSetting(debug, eval_json=data_eval_sf_json,
+                                            overrides=self.mesh_overrides)
             self.sf_setting = SFSetting(debug, sf_id=sf_id, sf_json=data_eval_sf_json)
             self.model_setting = ModelSetting(model_id, debug, para_json=para_json)
         else:
             self.data_setting = DataSetting(debug, data_id=data_id, dir_data=dir_data)
-            self.eval_setting = EvalSetting(debug, dir_output=dir_output)
+            self.eval_setting = EvalSetting(debug, dir_output=dir_output,
+                                            overrides=self.mesh_overrides)
             self.sf_setting = SFSetting(debug, sf_id=sf_id)
             self.model_setting = ModelSetting(model_id, debug)
 

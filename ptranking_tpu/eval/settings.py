@@ -129,7 +129,8 @@ class DataSetting:
 class EvalSetting:
     """Reference EvalSetting (parameter.py:374-511)."""
 
-    def __init__(self, debug=False, dir_output=None, eval_json=None):
+    def __init__(self, debug=False, dir_output=None, eval_json=None,
+                 overrides: Optional[Dict[str, Any]] = None):
         self.debug = debug
         self.use_json = eval_json is not None
         if self.use_json:
@@ -139,6 +140,9 @@ class EvalSetting:
         else:
             self.json_dict = {}
             self.dir_output = dir_output
+        # CLI-level overrides (e.g. `-mesh data=8`) win over JSON values —
+        # the standard three-source precedence (CLI > JSON > defaults)
+        self.overrides = dict(overrides or {})
         self.eval_dict: Dict[str, Any] = {}
 
     def default_setting(self) -> Dict[str, Any]:
@@ -167,9 +171,19 @@ class EvalSetting:
         # HBM budget, and feature storage dtype (None=fp32 / "bfloat16" /
         # "int8" quarter-size affine-quantized)
         for k in ("device_resident", "device_resident_bytes",
-                  "device_resident_dtype"):
+                  "device_resident_dtype", "save_train_state", "resume"):
             if k in j:
                 d[k] = _first(j[k])
+        # mesh-parallel knobs (TPU runtime, no reference analogue): a `mesh`
+        # axis-size dict ({"data": 8} / {"data": 4, "model": 2} / +"seq"/"dcn")
+        # routes the whole k-fold/grid/reproduce lifecycle through
+        # DistributedTrainer (parallel/train.py) instead of the single-chip
+        # ranker; the companion knobs mirror its constructor
+        for k in ("mesh", "tp", "shard_docs", "cp_impl", "pp_stages",
+                  "scan_steps", "eval_chunk"):
+            if k in j:
+                d[k] = j[k] if k == "mesh" else _first(j[k])
+        d.update(self.overrides)
         self.eval_dict = d
         return d
 
@@ -202,6 +216,17 @@ class EvalSetting:
         # and bf16/int8 runs must not share an output directory
         if d.get("device_resident_dtype"):
             parts += ["R" + str(d["device_resident_dtype"])]
+        if d.get("mesh"):
+            m = d["mesh"]
+            tok = "Mesh" + "".join(f"{ax[0]}{m[ax]}" for ax in
+                                   ("dcn", "data", "model", "seq") if m.get(ax))
+            if d.get("tp"):
+                tok += "TP"
+            if d.get("shard_docs"):
+                tok += "CP" + str(d.get("cp_impl", "ring"))
+            if d.get("pp_stages"):
+                tok += f"PP{d['pp_stages']}"
+            parts += [tok]
         return s1.join(parts)
 
 
@@ -238,6 +263,7 @@ class SFSetting:
                 apply_tl_af=_first(sub.get("apply_tl_af", True)),
                 BN=_first(sub.get("BN", True)), bn_type=_first(sub.get("bn_type", "BN")),
                 bn_affine=_first(sub.get("bn_affine", True)),
+                dropout=_first(sub.get("dropout", 0.1)),
             )
             opt = OptimizerConfig(opt=_first(j.get("opt", "Adam")), lr=_first(j.get("lr", 1e-4)))
         else:
@@ -253,6 +279,7 @@ class SFSetting:
                 n_heads=_first(sub.get("n_heads", 2)),
                 encoder_layers=_first(sub.get("encoder_layers", 6)),
                 encoder_type=_first(sub.get("encoder_type", "DASALC")),
+                dropout=_first(sub.get("dropout", 0.1)),
                 compute_dtype=_first(sub.get("compute_dtype", "float32")),
                 lane_align=_first(sub.get("lane_align", False)),
                 flash_attn=_first(sub.get("flash_attn", False)),
@@ -328,6 +355,8 @@ class SFSetting:
         parts = [cfg.AF + str(n_layers) + tl, opt.opt, f"Lr{opt.lr:g}"]
         if cfg.BN:
             parts.append(cfg.bn_type)
+        if cfg.dropout != 0.1:  # non-default dropout is result-changing
+            parts.append(f"Drop{cfg.dropout:g}")
         if not cfg.sf_id.startswith("pointsf"):
             parts.append(f"{cfg.encoder_type}E{cfg.encoder_layers}H{cfg.n_heads}")
             if cfg.lane_align:

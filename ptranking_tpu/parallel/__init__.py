@@ -15,7 +15,7 @@ from ptranking_tpu.parallel.mesh import (
     replicated,
     scorer_param_sharding,
 )
-from ptranking_tpu.parallel.mesh import make_hybrid_mesh
+from ptranking_tpu.parallel.mesh import make_hybrid_mesh, mesh_from_dict
 from ptranking_tpu.parallel.ot import cp_wass_rank
 from ptranking_tpu.parallel.ring import (
     reference_attention,
@@ -33,6 +33,7 @@ from ptranking_tpu.parallel.train import DistributedTrainer
 
 __all__ = [
     "make_hybrid_mesh",
+    "mesh_from_dict",
     "cp_wass_rank",
     "reference_attention",
     "ring_attention",

@@ -87,6 +87,27 @@ def make_hybrid_mesh(ici_cfg: Optional[MeshConfig] = None,
     return Mesh(arr, ("dcn", "data", "model", "seq"))
 
 
+# Config-level mesh construction (EvalSetting "mesh" JSON key / -mesh CLI
+# flag). Cached: jax meshes hash by device layout, and every evaluator /
+# branch trainer asking for the same axis sizes should share one mesh.
+_MESH_CACHE: dict = {}
+
+
+def mesh_from_dict(mesh_dict: dict) -> Mesh:
+    """{"data": 4, "model": 2, "seq": 1, "dcn": k} -> Mesh; a `dcn` axis
+    selects the hybrid multi-host mesh (make_hybrid_mesh)."""
+    key = tuple(sorted(mesh_dict.items()))
+    if key not in _MESH_CACHE:
+        unknown = set(mesh_dict) - {"data", "model", "seq", "dcn"}
+        assert not unknown, f"unknown mesh axes {unknown}"
+        cfg = MeshConfig(data=int(mesh_dict.get("data", 1)),
+                         model=int(mesh_dict.get("model", 1)),
+                         seq=int(mesh_dict.get("seq", 1)))
+        _MESH_CACHE[key] = (make_hybrid_mesh(cfg, dcn=int(mesh_dict["dcn"]))
+                            if mesh_dict.get("dcn") else make_mesh(cfg))
+    return _MESH_CACHE[key]
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

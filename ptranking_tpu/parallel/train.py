@@ -23,6 +23,14 @@ from ptranking_tpu.train.optimizer import OptimizerConfig, make_optimizer
 from ptranking_tpu.types import LabelType, RankingBatch
 
 
+# Compiled-program cache across trainer instances: k-fold CV and grid search
+# rebuild the trainer per fold with an identical (config, mesh) pair, and
+# without this every fold re-traced the step/eval programs (mirrors the
+# single-chip _COMPILED_CACHE in train/ranker.py). Keyed by everything that
+# shapes the traced computation; jax.sharding.Mesh hashes by device layout.
+_DIST_COMPILED_CACHE: Dict[Any, tuple] = {}
+
+
 class DistributedTrainer:
     """Mesh-parallel counterpart of train.AdhocRanker.
 
@@ -60,6 +68,9 @@ class DistributedTrainer:
         #                         (predict/evaluate); training stays DP/TP/CP
         #                         (docs/parallel.md records the reasoning)
         scan_steps: int = 32,   # batches per fused device dispatch (K-sweep, BASELINE.md)
+        eval_chunk: Optional[int] = None,  # batches per fused EVAL dispatch;
+        #                         default 64 by measurement (train/ranker.py
+        #                         EVAL_CHUNK) — decoupled from scan_steps
         seed: int = 137,
     ):
         self.model_id = model_id
@@ -83,6 +94,10 @@ class DistributedTrainer:
                 f"({mesh.shape['model']}): stages live on `model`"
             assert scorer_cfg.encoder_layers % self.pp_stages == 0
         self.scan_steps = max(int(scan_steps), 1)
+        from ptranking_tpu.train.ranker import EVAL_CHUNK
+
+        self.eval_chunk = max(int(eval_chunk if eval_chunk is not None
+                                  else EVAL_CHUNK), 1)
         self.seed = seed
         self.stochastic = model_id in STOCHASTIC
 
@@ -105,7 +120,20 @@ class DistributedTrainer:
             out_shardings=self._opt_state_shardings(params),
         )(self.params)
         self._batch_sharding = batch_sharding(self.mesh, self.shard_docs)
-        self._compile()
+        from ptranking_tpu.train.ranker import _freeze
+
+        cache_key = (self.model_id, self.scorer_cfg, _freeze(self.model_paras),
+                     self.opt_cfg, self.label_type, self.mesh, self.tp,
+                     self.shard_docs, self.cp_impl, self.pp_stages)
+        cached = _DIST_COMPILED_CACHE.get(cache_key)
+        if cached is None:
+            self._compile()
+            _DIST_COMPILED_CACHE[cache_key] = (
+                self._step, self._scan_step, self._gather_scan, self._predict,
+                self._eval, self._eval_scan, self._eval_gather)
+        else:
+            (self._step, self._scan_step, self._gather_scan, self._predict,
+             self._eval, self._eval_scan, self._eval_gather) = cached
         return self
 
     def _opt_state_shardings(self, params):
@@ -418,13 +446,48 @@ class DistributedTrainer:
 
     # ------------------------------------------------------------------ api
 
+    @property
+    def _dp_degree(self) -> int:
+        """Devices along the batch (query) axes."""
+        d = self.mesh.shape["data"]
+        if "dcn" in self.mesh.axis_names:
+            d *= self.mesh.shape["dcn"]
+        return d
+
+    @property
+    def _cp_degree(self) -> int:
+        return self.mesh.shape["seq"] if self.shard_docs else 1
+
+    def _mesh_pad(self, f, l, m):
+        """Pad batch rows to a multiple of the DP degree (and docs to a
+        multiple of the CP degree): GSPMD requires every sharded dim to
+        divide its mesh axis, and bucketed batches come in arbitrary sizes.
+        Pad rows/docs are mask-False, so they contribute zero loss/metric —
+        exactly the padding-invariance the loss and metric suites assert."""
+        f, l, m = np.asarray(f), np.asarray(l), np.asarray(m)
+        B, N = m.shape[-2], m.shape[-1]
+        pb, pn = (-B) % self._dp_degree, (-N) % self._cp_degree
+        if not pb and not pn:
+            return f, l, m
+        pad_f = [(0, 0)] * (f.ndim - 3) + [(0, pb), (0, pn), (0, 0)]
+        pad_l = [(0, 0)] * (l.ndim - 2) + [(0, pb), (0, pn)]
+        return np.pad(f, pad_f), np.pad(l, pad_l), np.pad(m, pad_l)
+
+    def _pad_idx(self, idx_k, sentinel: int):
+        """Pad gather-index columns to a multiple of the DP degree with the
+        resident arrays' all-masked sentinel row."""
+        idx_k = np.asarray(idx_k)
+        pb = (-idx_k.shape[-1]) % self._dp_degree
+        if not pb:
+            return idx_k
+        pad = [(0, 0)] * (idx_k.ndim - 1) + [(0, pb)]
+        return np.pad(idx_k, pad, constant_values=sentinel)
+
     def _put(self, batch: RankingBatch):
-        f = jax.device_put(np.asarray(batch.features), self._batch_sharding)
-        l = jax.device_put(np.asarray(batch.labels),
-                           jax.sharding.NamedSharding(self.mesh, self._batch_sharding.spec))
-        m = jax.device_put(np.asarray(batch.mask),
-                           jax.sharding.NamedSharding(self.mesh, self._batch_sharding.spec))
-        return f, l, m
+        f, l, m = self._mesh_pad(batch.features, batch.labels, batch.mask)
+        lm_sh = jax.sharding.NamedSharding(self.mesh, self._batch_sharding.spec)
+        return (jax.device_put(f, self._batch_sharding),
+                jax.device_put(l, lm_sh), jax.device_put(m, lm_sh))
 
     def train_step(self, batch: RankingBatch) -> float:
         self._key, sub = jax.random.split(self._key)
@@ -443,9 +506,10 @@ class DistributedTrainer:
             for b in chunk:
                 num_queries += int(np.sum(np.asarray(b.mask).any(axis=-1)))
             if fused:
-                f = np.stack([np.asarray(b.features) for b in chunk])
-                l = np.stack([np.asarray(b.labels) for b in chunk])
-                m = np.stack([np.asarray(b.mask) for b in chunk])
+                f, l, m = self._mesh_pad(
+                    np.stack([np.asarray(b.features) for b in chunk]),
+                    np.stack([np.asarray(b.labels) for b in chunk]),
+                    np.stack([np.asarray(b.mask) for b in chunk]))
                 self._key, sub = jax.random.split(self._key)
                 self.params, self.opt_state, loss = self._scan_step(
                     self.params, self.opt_state, sub, f, l, m)
@@ -515,6 +579,8 @@ class DistributedTrainer:
         for bucket, idx_k, _n_real in res.epoch_index_chunks(
                 shuffle, epoch_k, self.scan_steps):
             feats_all, labels_all, mask_all = arrs[bucket]
+            sentinel = mask_all.shape[0] - 1  # the all-masked pad row
+            idx_k = self._pad_idx(idx_k, sentinel)
             if not checked:
                 idx0 = jnp.asarray(idx_k[0])
                 # eager host-side gathers come out replicated; commit them to
@@ -542,12 +608,13 @@ class DistributedTrainer:
         return total / max(res.num_queries, 1), False
 
     def _evaluate_resident(self, res, ks):
-        from ptranking_tpu.train.ranker import EVAL_CHUNK, _reduce_packed_rows
+        from ptranking_tpu.train.ranker import _reduce_packed_rows
 
         arrs = self._mesh_resident(res)
         packed_rows = []
-        for bucket, idx_k, _ in res.epoch_index_chunks(False, 0, EVAL_CHUNK):
+        for bucket, idx_k, _ in res.epoch_index_chunks(False, 0, self.eval_chunk):
             f, l, m = arrs[bucket]
+            idx_k = self._pad_idx(idx_k, m.shape[0] - 1)
             packed_rows.append(self._eval_gather(
                 self.params, f, l, m, jnp.asarray(idx_k), ks))
         return _reduce_packed_rows(packed_rows, len(ks))
@@ -580,6 +647,23 @@ class DistributedTrainer:
         self._key = jnp.asarray(ckpt["key"])
         return self
 
+    def save(self, path: str):
+        """Pickle the self-describing checkpoint (same file format as
+        AdhocRanker.save — checkpoints are interchangeable between the
+        single-chip ranker and the mesh trainer of the same config)."""
+        import os
+        import pickle
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump(self.checkpoint(), f, protocol=pickle.HIGHEST_PROTOCOL)
+
+    def load(self, path: str):
+        import pickle
+
+        with open(path, "rb") as f:
+            return self.restore(pickle.load(f))
+
     def evaluate(self, batches, ks=(1, 3, 5, 10)):
         from ptranking_tpu.utils.chunking import iter_shape_chunks
 
@@ -595,12 +679,38 @@ class DistributedTrainer:
         packed_rows = []
         for chunk, fused in iter_shape_chunks(batches, self.scan_steps):
             if fused:
-                f = np.stack([np.asarray(b.features) for b in chunk])
-                l = np.stack([np.asarray(b.labels) for b in chunk])
-                m = np.stack([np.asarray(b.mask) for b in chunk])
+                f, l, m = self._mesh_pad(
+                    np.stack([np.asarray(b.features) for b in chunk]),
+                    np.stack([np.asarray(b.labels) for b in chunk]),
+                    np.stack([np.asarray(b.mask) for b in chunk]))
                 packed_rows.append(self._eval_scan(self.params, f, l, m, ks))
             else:
                 for b in chunk:
                     f, l, m = self._put(b)
                     packed_rows.append(self._eval(self.params, f, l, m, ks))
         return _reduce_packed_rows(packed_rows, len(ks))
+
+    def validation(self, batches, k: int = 5, metric: str = "nDCG") -> float:
+        """Validation scalar (mirrors AdhocRanker.validation; reference
+        base/ranker.py:189-200)."""
+        return float(self.evaluate(batches, ks=(k,))[metric][0])
+
+    def evaluate_per_query(self, batches, ks=(1, 3, 5, 10, 20, 50)):
+        """Per-query metric matrices for real queries (reproduce mode;
+        mirrors AdhocRanker.evaluate_per_query). Scores come off the mesh
+        predict jit; the per-query unpack is a host loop, which is fine —
+        reproduce runs once per experiment, not per epoch."""
+        ks = tuple(ks)
+        if hasattr(batches, "batches"):
+            batches = batches.batches()
+        rows: Dict[str, list] = {m: [] for m in ("nDCG", "nERR", "AP", "P")}
+        for batch in batches:
+            f, l, m_ = self._put(batch)
+            scores = self._predict(self.params, f, m_)
+            out = evaluate_all_at_ks(scores, l, m_, ks, self.label_type)
+            # from the PADDED mask (DP pads batch rows; pad rows are False)
+            real = np.asarray(m_).any(axis=-1)
+            for m in rows:
+                rows[m].append(np.asarray(out[m])[real])
+        return {m: (np.concatenate(v) if v else np.zeros((0, len(ks))))
+                for m, v in rows.items()}

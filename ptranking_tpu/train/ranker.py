@@ -99,8 +99,9 @@ class AdhocRanker:
         # assignment, not semantics — see _build_step's scan_step. Default 32
         # by measurement (tools/bench_dispatch.py, BASELINE.md K-sweep): the
         # tunneled chip's 1-8 ms/dispatch still dominates at K=8 (1.7k
-        # lists/s) and plateaus from K=32 (6.7k); tails/boundaries run
-        # per-step so no remainder-K program is compiled either way.
+        # lists/s) and plateaus from K=32 (6.7k). Streamed tails/boundaries
+        # run per-step; resident tails compile one reused smaller-k chunk
+        # program per bucket (device_cache.py epoch_index_chunks).
         self.scan_steps = max(int(scan_steps), 1)
         self.model_id = model_id
         self.scorer_cfg = scorer_cfg

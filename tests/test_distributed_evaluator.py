@@ -1,0 +1,158 @@
+"""The mesh reaches the experiment surface: k-fold CV / grid / reproduce run
+through DistributedTrainer from EvalSetting/CLI knobs (VERDICT r3 #1/#9).
+
+Reference user surface being matched at TPU scale: evaluator.run(...)
+(/root/reference/ptranking/ltr_adhoc/eval/ltr.py:568-583, kfold_cv_eval
+:291-369, grid_run :521-565, kfold_cv_reproduce :265-288). All tests run on
+the 8-virtual-device CPU mesh from conftest.py.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ptranking_tpu.eval import LTREvaluator
+
+
+def _write_cfg(tmp_path, dropout=0.0, mesh=None, model="RankNet",
+               model_paras=None, extra_eval=None):
+    cfg = {
+        "DataSetting": {
+            "data_id": "SyntheticMQ", "dir_data": None,
+            "min_docs": [5], "min_rele": [1], "binary_rele": [False],
+            "unknown_as_zero": [False], "tr_batch_size": [128],
+        },
+        "EvalSetting": {
+            "dir_output": str(tmp_path / "out"), "epochs": 2,
+            "do_validation": True, "vali_k": 5, "vali_metric": "nDCG",
+            "cutoffs": [1, 3, 5, 10], "loss_guided": False,
+            "do_log": False, "log_step": 1, "do_summary": False,
+            "mask": {"mask_label": False},
+            **(extra_eval or {}),
+        },
+        "SFParameter": {
+            "sf_id": "pointsf", "opt": ["Adam"], "lr": [0.001],
+            "pointsf": {"BN": [True], "bn_type": ["BN"], "bn_affine": [True],
+                        "layers": [2], "AF": ["R"], "TL_AF": ["S"],
+                        "apply_tl_af": [False], "dropout": [dropout]},
+        },
+    }
+    if mesh is not None:
+        cfg["EvalSetting"]["mesh"] = mesh
+    dir_json = tmp_path / "json"
+    dir_json.mkdir(parents=True, exist_ok=True)
+    (dir_json / "Data_Eval_ScoringFunction.json").write_text(json.dumps(cfg))
+    (dir_json / f"{model}Parameter.json").write_text(
+        json.dumps({model: model_paras or {"sigma": [1.0]}}))
+    return str(dir_json)
+
+
+def test_kfold_cv_on_mesh_matches_single_device(tmp_path):
+    """2-fold CV through the evaluator on the 8-device mesh == single-chip.
+
+    dropout=0 makes the math pad-invariant (DP pads batch rows to the mesh
+    size; a dropout draw would see the padded shape), so the only remaining
+    divergence is psum reassociation — results must agree tightly.
+    """
+    dj = _write_cfg(tmp_path / "a", dropout=0.0)
+    perf_single = LTREvaluator().point_run(
+        debug=True, model_id="RankNet", dir_json=dj)
+    dj2 = _write_cfg(tmp_path / "b", dropout=0.0, mesh={"data": 8})
+    perf_mesh = LTREvaluator().point_run(
+        debug=True, model_id="RankNet", dir_json=dj2)
+    np.testing.assert_allclose(perf_mesh["nDCG"], perf_single["nDCG"],
+                               atol=2e-3)
+    assert float(perf_mesh["nDCG"][2]) > 0.0
+
+
+def test_cli_mesh_flag_end_to_end(tmp_path):
+    """The CLI mesh knob drives a full debug CV run on the virtual mesh."""
+    from ptranking_tpu import ltr
+
+    perf = ltr.main(["-model", "RankMSE", "-debug", "-mesh", "data=4,model=2",
+                     "-tp", "-dir_output", str(tmp_path)])
+    assert perf is not None and 0.0 < float(perf["nDCG"][2]) <= 1.0
+    # the run dir encodes the mesh (no collision with single-chip runs)
+    runs = [r for r, d, f in os.walk(tmp_path) if "Fold-1" in d]
+    assert runs and "Meshd4m2" in runs[0], runs
+
+
+def test_grid_then_reproduce_on_mesh(tmp_path):
+    """The full reference workflow distributed (VERDICT r3 #9): grid over 2
+    model settings on the mesh, then reproduce reloading the fold-optimal
+    checkpoints under shardings."""
+    dj = _write_cfg(tmp_path, dropout=0.0, mesh={"data": 4, "model": 2},
+                    model="RankNet", model_paras={"sigma": [1.0, 2.0]})
+    ev = LTREvaluator()
+    perf = ev.grid_run(debug=True, model_id="RankNet", dir_json=dj)
+    assert perf is not None and float(perf["nDCG"][2]) > 0.0
+    max_files = [p for p in (tmp_path / "out").rglob("*_max.txt")]
+    assert max_files, "grid must record the best setting"
+
+    # reproduce mode reloads fold-optimal checkpoints through the mesh
+    # trainer (point settings == grid defaults for sigma=1.0, but reproduce
+    # runs from the point-run dir — so train a point run first, then rerun)
+    perf_pt = ev.point_run(debug=True, model_id="RankNet", dir_json=dj)
+    perf_rep = ev.point_run(debug=True, model_id="RankNet", dir_json=dj,
+                            reproduce=True)
+    np.testing.assert_allclose(perf_rep["nDCG"], perf_pt["nDCG"], atol=1e-6)
+    # per-query reproduce pickles written (reference parameter.py:814-831)
+    pq = list((tmp_path / "out").rglob("*_all_fold_ndcg_at_ks_per_q.np"))
+    assert pq, "reproduce must write per-query metric matrices"
+
+
+def test_single_chip_checkpoints_load_on_mesh(tmp_path):
+    """Checkpoints are interchangeable: a single-chip AdhocRanker checkpoint
+    loads into a DistributedTrainer of the same config and evaluates to the
+    same metrics under shardings (run DIRS stay separate by design — the
+    mesh token in the run-dir string keeps result-changing settings apart)."""
+    from ptranking_tpu.data import BucketedDataset, make_synthetic_queries
+    from ptranking_tpu.eval.settings import SFSetting
+    from ptranking_tpu.parallel import DistributedTrainer, MeshConfig, make_mesh
+    from ptranking_tpu.train import AdhocRanker
+
+    sf = SFSetting(sf_id="pointsf").default_setting(46)
+    ranker = AdhocRanker("RankNet", sf["scorer"], opt_cfg=sf["optimizer"])
+    ranker.init()
+    test = BucketedDataset(make_synthetic_queries(num_queries=40,
+                                                  num_features=46, seed=3),
+                           batch_docs=100, num_features=46)
+    ranker.train_epoch(test.batches(shuffle=True, epoch=1), epoch_k=1)
+    path = str(tmp_path / "ckpt.pkl")
+    ranker.save(path)
+    base = ranker.evaluate(test, ks=(1, 5))
+
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    tr = DistributedTrainer("RankNet", sf["scorer"], mesh, tp=True,
+                            opt_cfg=sf["optimizer"]).init()
+    tr.load(path)
+    on_mesh = tr.evaluate(test, ks=(1, 5))
+    np.testing.assert_allclose(on_mesh["nDCG"], base["nDCG"], atol=1e-5)
+
+
+def test_mesh_resume_mid_training(tmp_path):
+    """Mid-training resume under the mesh (same lifecycle as the single-chip
+    path): a 2-epoch run persists train_state.pkl; re-running the SAME
+    setting with resume restores the sharded params/opt-state/key, skips the
+    already-finished epochs, and reproduces the identical test metrics."""
+
+    def run(resume):
+        ev = LTREvaluator(mesh_overrides={"mesh": {"data": 8}})
+        ev.set_settings(True, "RankNet", "pointsf", "SyntheticMQ", None,
+                        str(tmp_path), None)
+        data_dict = ev.data_setting.default_setting()
+        data_dict["fold_num"] = 1
+        eval_dict = ev.eval_setting.default_setting()
+        eval_dict.update(epochs=2, do_log=False, do_validation=False,
+                         save_train_state=True, resume=resume)
+        sf_para = ev.sf_setting.default_setting(data_dict["num_features"])
+        return ev.kfold_cv_eval(data_dict, eval_dict, sf_para,
+                                {"model_id": "RankNet"})
+
+    first = run(resume=False)
+    states = list(tmp_path.rglob("train_state.pkl"))
+    assert states, "save_train_state must persist train_state.pkl"
+    resumed = run(resume=True)  # start_epoch=3 > 2: pure restore + eval
+    np.testing.assert_allclose(resumed["nDCG"], first["nDCG"], atol=1e-6)
