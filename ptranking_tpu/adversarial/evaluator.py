@@ -44,9 +44,12 @@ class AdLTREvaluator(LTREvaluator):
     """Inherits load_data/determine_files from the adhoc evaluator (the
     reference's AdLTREvaluator subclasses LTREvaluator the same way)."""
 
-    def get_ad_machine(self, model_id: str, sf_para, ad_para_dict, seed: int = 137):
-        """(reference get_ad_machine, ltr_adversarial.py:62-78)."""
-        return AD_MACHINES[model_id](sf_para=sf_para, ad_para_dict=ad_para_dict, seed=seed)
+    def get_ad_machine(self, model_id: str, sf_para, ad_para_dict,
+                       seed: int = 137, mesh=None):
+        """(reference get_ad_machine, ltr_adversarial.py:62-78); `mesh` runs
+        both players data-parallel over the mesh (adversarial/base.py DP)."""
+        return AD_MACHINES[model_id](sf_para=sf_para, ad_para_dict=ad_para_dict,
+                                     seed=seed, mesh=mesh)
 
     # --------------------------------------------------------------- output
 
@@ -94,7 +97,13 @@ class AdLTREvaluator(LTREvaluator):
         for fold_k in range(1, fold_num + 1):
             train_ds, test_ds, vali_ds = self.load_data(eval_dict, data_dict, fold_k)
 
-            machine = self.get_ad_machine(model_id, sf_para, paras, seed=137 + fold_k)
+            mesh = None
+            if eval_dict.get("mesh"):
+                from ptranking_tpu.parallel.mesh import mesh_from_dict
+
+                mesh = mesh_from_dict(eval_dict["mesh"])
+            machine = self.get_ad_machine(model_id, sf_para, paras,
+                                          seed=137 + fold_k, mesh=mesh)
             machine.fill_global_buffer(train_ds.batches())
             # burn-in (reference ltr_adversarial.py:126-127: 10 epochs)
             burn = 2 if eval_dict.get("debug") else 10
@@ -152,12 +161,14 @@ class AdLTREvaluator(LTREvaluator):
             ad_json = os.path.join(dir_json, "Ad_Data_Eval_ScoringFunction.json")
             para_json = os.path.join(dir_json, f"{model_id}Parameter.json")
             self.data_setting = AdDataSetting(debug, data_json=ad_json)
-            self.eval_setting = AdEvalSetting(debug, eval_json=ad_json)
+            self.eval_setting = AdEvalSetting(debug, eval_json=ad_json,
+                                              overrides=self.mesh_overrides)
             self.sf_setting = AdSFSetting(debug, sf_id=sf_id, sf_json=ad_json)
             self.model_setting = AdModelSetting(model_id, debug, para_json=para_json)
         else:
             self.data_setting = AdDataSetting(debug, data_id=data_id, dir_data=dir_data)
-            self.eval_setting = AdEvalSetting(debug, dir_output=dir_output)
+            self.eval_setting = AdEvalSetting(debug, dir_output=dir_output,
+                                              overrides=self.mesh_overrides)
             self.sf_setting = AdSFSetting(debug, sf_id=sf_id)
             self.model_setting = AdModelSetting(model_id, debug)
 

@@ -42,8 +42,9 @@ class IRFGAN_Point(AdversarialMachine):
     softmax(G) samples. D minimises conj(act(fake)) - act(true); G REINFORCE
     with conj(act(D(fake))) rewards."""
 
-    def __init__(self, sf_para=None, ad_para_dict=None, seed: int = 137):
-        super().__init__(sf_para, ad_para_dict)
+    def __init__(self, sf_para=None, ad_para_dict=None, seed: int = 137,
+                 mesh=None):
+        super().__init__(sf_para, ad_para_dict, mesh=mesh)
         self.f_div_id = ad_para_dict.get("f_div_id", "KL")
         self.activation_f, self.conjugate_f = get_f_divergence_functions(self.f_div_id)
         self.d_epoches = ad_para_dict.get("d_epoches", 1)
@@ -125,8 +126,9 @@ class IRFGAN_Pair(AdversarialMachine):
     label gaps; fake pairs ~ Bernoulli(BT(G score diffs)). D on pairwise score
     DIFFS with the f-div objective; G weights log BT probs by conj(act(.))."""
 
-    def __init__(self, sf_para=None, ad_para_dict=None, seed: int = 137):
-        super().__init__(sf_para, ad_para_dict)
+    def __init__(self, sf_para=None, ad_para_dict=None, seed: int = 137,
+                 mesh=None):
+        super().__init__(sf_para, ad_para_dict, mesh=mesh)
         self.f_div_id = ad_para_dict.get("f_div_id", "KL")
         self.activation_f, self.conjugate_f = get_f_divergence_functions(self.f_div_id)
         self.samples_per_query = ad_para_dict.get("samples_per_query", 5)
@@ -264,8 +266,9 @@ class IRFGAN_List(AdversarialMachine):
     """(reference irfgan_list.py). IRGAN_List sampling with the f-div
     objective on PL ranking log-probs of truth vs generated sub-rankings."""
 
-    def __init__(self, sf_para=None, ad_para_dict=None, seed: int = 137):
-        super().__init__(sf_para, ad_para_dict)
+    def __init__(self, sf_para=None, ad_para_dict=None, seed: int = 137,
+                 mesh=None):
+        super().__init__(sf_para, ad_para_dict, mesh=mesh)
         self.f_div_id = ad_para_dict.get("f_div_id", "KL")
         self.activation_f, self.conjugate_f = get_f_divergence_functions(self.f_div_id)
         self.temperature = ad_para_dict.get("temperature", 0.5)

@@ -72,8 +72,9 @@ class IRGAN_Point(AdversarialMachine):
     """(reference irgan_point.py:48-232). D: BCE on generated pos/neg docs;
     G: REINFORCE with the Eq-22 importance-sampling mixture, reward (D-0.5)*2."""
 
-    def __init__(self, sf_para=None, ad_para_dict=None, seed: int = 137):
-        super().__init__(sf_para, ad_para_dict)
+    def __init__(self, sf_para=None, ad_para_dict=None, seed: int = 137,
+                 mesh=None):
+        super().__init__(sf_para, ad_para_dict, mesh=mesh)
         self.temperature = ad_para_dict.get("temperature", 0.5)
         self.d_epoches = ad_para_dict.get("d_epoches", 1)
         self.g_epoches = ad_para_dict.get("g_epoches", 1)
@@ -178,8 +179,9 @@ class IRGAN_Pair(AdversarialMachine):
     tail; D: hinge (svm) or log pairwise loss; G: REINFORCE with pairwise
     reward sigma(max(0, 1-(s+ - s-))) or log sigma(s- - s+)."""
 
-    def __init__(self, sf_para=None, ad_para_dict=None, seed: int = 137):
-        super().__init__(sf_para, ad_para_dict)
+    def __init__(self, sf_para=None, ad_para_dict=None, seed: int = 137,
+                 mesh=None):
+        super().__init__(sf_para, ad_para_dict, mesh=mesh)
         self.loss_type = ad_para_dict.get("loss_type", "svm")
         self.temperature = ad_para_dict.get("temperature", 0.5)
         self.d_epoches = ad_para_dict.get("d_epoches", 1)
@@ -311,8 +313,9 @@ class IRGAN_List(AdversarialMachine):
     truth rankings come from per-sample tie shuffles of the (presorted)
     labels."""
 
-    def __init__(self, sf_para=None, ad_para_dict=None, seed: int = 137):
-        super().__init__(sf_para, ad_para_dict)
+    def __init__(self, sf_para=None, ad_para_dict=None, seed: int = 137,
+                 mesh=None):
+        super().__init__(sf_para, ad_para_dict, mesh=mesh)
         self.temperature = ad_para_dict.get("temperature", 0.5)
         self.top_k = ad_para_dict.get("top_k", 5)
         self.samples_per_query = ad_para_dict.get("samples_per_query", 5)

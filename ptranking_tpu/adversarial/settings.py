@@ -112,7 +112,8 @@ class AdEvalSetting(EvalSetting):
 
     JSON_SECTION = "AdEvalSetting"
 
-    def __init__(self, debug=False, dir_output=None, eval_json=None):
+    def __init__(self, debug=False, dir_output=None, eval_json=None,
+                 overrides=None):
         self.debug = debug
         self.use_json = eval_json is not None
         if self.use_json:
@@ -122,6 +123,7 @@ class AdEvalSetting(EvalSetting):
         else:
             self.json_dict = {}
             self.dir_output = dir_output
+        self.overrides = dict(overrides or {})  # CLI > JSON > defaults
         self.eval_dict: Dict[str, Any] = {}
 
     def default_setting(self) -> Dict[str, Any]:

@@ -196,8 +196,14 @@ class DivLTREvaluator:
                 test_res = maybe_div_device_resident(test, budget)
             else:
                 test_res = test
+            mesh = None
+            if eval_dict.get("mesh"):
+                from ptranking_tpu.parallel.mesh import mesh_from_dict
+
+                mesh = mesh_from_dict(eval_dict["mesh"])
             ranker = DivRanker(model_id, scorer_cfg, model_paras=paras,
-                               opt_cfg=opt_cfg, seed=137 + fold_k).init()
+                               opt_cfg=opt_cfg, seed=137 + fold_k,
+                               mesh=mesh).init()
             if reproduce:
                 ckpt = get_opt_model(os.path.join(dir_run, f"Fold-{fold_k}"))
                 assert ckpt, f"no checkpoint for fold {fold_k} under {dir_run}"

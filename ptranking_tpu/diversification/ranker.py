@@ -45,11 +45,15 @@ class DivRanker:
     def __init__(self, model_id: str, scorer_cfg: DivScorerConfig,
                  model_paras: Optional[Dict[str, Any]] = None,
                  opt_cfg: Optional[OptimizerConfig] = None, seed: int = 137,
-                 scan_steps: int = 8):
+                 scan_steps: int = 8, mesh=None):
         assert model_id in DIV_MODELS, model_id
         # batches per fused device dispatch (see train/ranker.py scan_step:
         # dispatch latency dominates small-batch steps on a tunneled chip)
         self.scan_steps = max(int(scan_steps), 1)
+        # optional mesh: DP over the `data` axis — params replicate, batch
+        # arrays shard over queries, XLA inserts the grad psum (the same
+        # recipe as the adversarial machines; SURVEY §2.10 DP row)
+        self.mesh = mesh
         self.model_id = model_id
         self.scorer_cfg = scorer_cfg
         self.model_paras = dict(model_paras or {})
@@ -71,8 +75,36 @@ class DivRanker:
         self.params = init_div_scorer(sub, self.scorer_cfg)
         self._optimizer = make_optimizer(self.opt_cfg)
         self.opt_state = self._optimizer.init(self.params)
+        if self.mesh is not None:
+            from ptranking_tpu.parallel.mesh import replicated
+
+            rep = replicated(self.mesh)
+            self.params = jax.device_put(self.params, rep)
+            self.opt_state = jax.device_put(self.opt_state, rep)
         self._build()
         return self
+
+    def _mesh_put(self, q, d, rm, dm):
+        """Shard (possibly K-stacked) DivBatch arrays over the batch axes,
+        padding query rows to the DP degree with all-masked rows (the losses
+        and metrics are padding-invariant per the suite's contract)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axes = ("dcn", "data") if "dcn" in self.mesh.axis_names else "data"
+        dp = self.mesh.shape["data"] * (self.mesh.shape["dcn"]
+                                        if "dcn" in self.mesh.axis_names else 1)
+        q, d, rm, dm = (np.asarray(q), np.asarray(d), np.asarray(rm),
+                        np.asarray(dm))
+        pb = (-dm.shape[-2]) % dp
+        if pb:
+            pad = lambda a, tail: np.pad(
+                a, [(0, 0)] * (a.ndim - 1 - tail) + [(0, pb)] + [(0, 0)] * tail)
+            q, d, rm, dm = pad(q, 1), pad(d, 2), pad(rm, 2), pad(dm, 1)
+        lead = (None,) * (dm.ndim - 2)
+        sh = lambda tail: NamedSharding(
+            self.mesh, P(*lead, axes, *([None] * tail)))
+        return (jax.device_put(q, sh(1)), jax.device_put(d, sh(2)),
+                jax.device_put(rm, sh(2)), jax.device_put(dm, sh(1)))
 
     def _build(self):
         cfg, model_id = self.scorer_cfg, self.model_id
@@ -214,6 +246,8 @@ class DivRanker:
                 d = jnp.stack([jnp.asarray(b.doc_reprs) for b in chunk])
                 rm = jnp.stack([jnp.asarray(b.rele_mat) for b in chunk])
                 dm = jnp.stack([jnp.asarray(b.doc_mask) for b in chunk])
+                if self.mesh is not None:
+                    q, d, rm, dm = self._mesh_put(q, d, rm, dm)
                 self._key, sub = jax.random.split(self._key)
                 self.params, self.opt_state, loss = self._scan_step(
                     self.params, self.opt_state, sub, q, d, rm, dm)
@@ -221,10 +255,14 @@ class DivRanker:
             else:
                 for b in chunk:
                     self._key, sub = jax.random.split(self._key)
+                    q, d, rm, dm = (jnp.asarray(b.q_repr),
+                                    jnp.asarray(b.doc_reprs),
+                                    jnp.asarray(b.rele_mat),
+                                    jnp.asarray(b.doc_mask))
+                    if self.mesh is not None:
+                        q, d, rm, dm = self._mesh_put(q, d, rm, dm)
                     self.params, self.opt_state, loss = self._step(
-                        self.params, self.opt_state, sub,
-                        jnp.asarray(b.q_repr), jnp.asarray(b.doc_reprs),
-                        jnp.asarray(b.rele_mat), jnp.asarray(b.doc_mask))
+                        self.params, self.opt_state, sub, q, d, rm, dm)
                     losses.append(loss)  # device-side; one sync at epoch end
         total = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
         if not np.isfinite(total):  # NaN stop guard (stop_training parity)

@@ -126,6 +126,12 @@ class DivEvalSetting:
             rerank_model_id=_first(j.get("rerank_model_id")) if rerank else None,
             rerank_model_dir=_first(j.get("rerank_model_dir")) if rerank else None,
         )
+        # mesh-parallel knob (TPU runtime): DP for the DivRanker over a
+        # device mesh (diversification/ranker.py mesh=) — same JSON shape as
+        # the adhoc EvalSetting
+        for k in ("mesh", "device_resident", "device_resident_bytes"):
+            if k in j:
+                d[k] = j[k] if k == "mesh" else _first(j[k])
         self.eval_dict = d
         return d
 
