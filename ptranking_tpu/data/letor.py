@@ -192,6 +192,22 @@ def load_letor_file(
     return queries
 
 
+def write_letor_file(queries: List[Query], path: str,
+                     with_comment: bool = True) -> str:
+    """Write per-query tuples as LETOR text (`label qid:<q> 1:v 2:v … #docid`),
+    the inverse of load_letor_file — used by the real-data parity harness to
+    materialise synthetic splits as FILES so both frameworks (and the parser
+    + .npz cache path) see identical on-disk input."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        for qid, feats, labels in queries:
+            for d in range(feats.shape[0]):
+                fv = " ".join(f"{i + 1}:{v:.6g}" for i, v in enumerate(feats[d]))
+                tail = f" #docid = {qid}-{d}" if with_comment else ""
+                f.write(f"{int(labels[d])} qid:{qid} {fv}{tail}\n")
+    return path
+
+
 def _cache_path(path: str, data_id: str, kwargs) -> Optional[str]:
     key = repr(sorted(kwargs.items()))
     h = hashlib.sha1(f"{data_id}|{key}".encode()).hexdigest()[:12]

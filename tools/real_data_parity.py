@@ -1,0 +1,272 @@
+"""Turnkey real-data parity harness (BASELINE.json north star).
+
+Runs the reference protocol — LambdaRank (configurable), reference default
+hyper-parameters, k-fold CV with nDCG@5 validation — on BOTH frameworks:
+ours (jax) and the reference wildltr/ptranking (torch CPU, imported from
+/root/reference when present), on the SAME on-disk LETOR files, and prints
+a side-by-side nDCG table with the parity verdict (north star:
+|Δ nDCG@5| <= 0.002 on MSLR-WEB30K LambdaRank; reference protocol anchors:
+/root/reference/ptranking/ltr_adhoc/eval/parameter.py:444-457 — 100 epochs,
+vali nDCG@5, cutoffs [1,3,5,10,20,50]; dataset metas it must handle:
+/root/reference/ptranking/data/data_utils.py:118-136).
+
+Usage (real data — the command that produces the north-star number the
+moment a dataset is mounted):
+
+  env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python -m tools.real_data_parity \
+      -data MQ2008_Super -dir_data /path/to/MQ2008/ -sf pointsf
+  python -m tools.real_data_parity -data MSLRWEB30K -dir_data /path/to/MSLR-WEB30K/ \
+      -sf listsf -skip_reference          # TPU run; reference CPU-torch on
+                                          # WEB30K takes days — compare against
+                                          # the recorded band instead
+
+Without -dir_data it materialises a synthetic MQ2008-shaped split as LETOR
+FILES first (write_letor_file), so the ENTIRE file path — native C++ parser,
+.npz cache write + reload, Fold layout, both frameworks' loaders — is
+exercised end to end and the A/B runs for real. That synthetic mode is the
+CI fallback (tests/test_real_data_parity.py) and was used for the recorded
+parity results in BASELINE.md.
+
+Expected wall-clock per fold (measured, see BASELINE.md "Real-data parity
+harness" section): synthetic debug ≈ 1-2 min CPU; MQ2008 (Fold, ~800
+queries, 100 epochs) ≈ 4 min on one v5e chip / ≈ 40 min reference torch-CPU;
+WEB30K (one fold ≈ 2.7 GB text, ~19k train queries) ≈ first parse 1-2 min
+(native parser ≈ 50 MB/s) then .npz reloads in seconds, ≈ 35 min/fold on one
+chip at 100 epochs (dispatch-fused resident path).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REF = "/root/reference"
+
+
+# --------------------------------------------------------------- synthetic
+
+def materialise_synthetic(dir_data: str, num_features: int = 46,
+                          queries=(400, 130, 130), seed: int = 137) -> str:
+    """Write a synthetic MQ2008-shaped split (train/vali/test LETOR files
+    under Fold1/) and return dir_data. Labels follow a linear teacher
+    (data/dataset.py make_synthetic_queries), so training is learnable and
+    both frameworks see identical bytes."""
+    from ptranking_tpu.data import make_synthetic_queries
+    from ptranking_tpu.data.letor import write_letor_file
+
+    fold = os.path.join(dir_data, "Fold1")
+    names = ("train.txt", "vali.txt", "test.txt")
+    for name, n, s in zip(names, queries, (seed, seed + 1000, seed + 2000)):
+        qs = make_synthetic_queries(num_queries=n, num_features=num_features,
+                                    max_label=2, seed=s)
+        # integer labels; qids unique across splits is fine (reference too)
+        write_letor_file(qs, os.path.join(fold, name))
+    return dir_data
+
+
+# ------------------------------------------------------------- cache check
+
+def check_cache_path(dir_data: str, data_id: str) -> dict:
+    """Parse Fold1/train.txt cold, then reload through the .npz cache; report
+    sizes and wall-clocks (the large-file cache verification the harness must
+    perform before a multi-hundred-MB real run)."""
+    import glob
+
+    from ptranking_tpu.data import load_letor_file
+
+    path = os.path.join(dir_data, "Fold1", "train.txt")
+    if not os.path.exists(path):  # Yahoo/Istella flat layouts
+        cands = sorted(glob.glob(os.path.join(dir_data, "*train*.txt")))
+        assert cands, f"no train split found under {dir_data}"
+        path = cands[0]
+    for stale in glob.glob(path + ".*.npz"):
+        os.remove(stale)
+    t0 = time.time()
+    qs = load_letor_file(path, data_id=data_id, presort=True)
+    t_parse = time.time() - t0
+    caches = glob.glob(path + ".*.npz")
+    assert caches, ".npz cache was not written"
+    t0 = time.time()
+    qs2 = load_letor_file(path, data_id=data_id, presort=True)
+    t_cached = time.time() - t0
+    assert len(qs2) == len(qs)
+    info = {
+        "train_file_mb": round(os.path.getsize(path) / 1e6, 2),
+        "cache_file_mb": round(os.path.getsize(caches[0]) / 1e6, 2),
+        "num_queries": len(qs),
+        "parse_s": round(t_parse, 2),
+        "cached_reload_s": round(t_cached, 3),
+    }
+    print(f"[cache] {path}: {info['train_file_mb']} MB text -> "
+          f"{info['cache_file_mb']} MB npz; parse {info['parse_s']}s, "
+          f"cached reload {info['cached_reload_s']}s, {len(qs)} queries")
+    return info
+
+
+# ------------------------------------------------------------------- ours
+
+def run_ours(data_id, dir_data, model_id, sf_id, epochs, fold_num, out_dir,
+             debug=False) -> dict:
+    from ptranking_tpu.eval import LTREvaluator
+
+    ev = LTREvaluator()
+    ev.set_settings(debug, model_id, sf_id, data_id, dir_data, out_dir, None)
+    data_dict = ev.data_setting.default_setting()
+    if fold_num:
+        data_dict["fold_num"] = fold_num
+    eval_dict = ev.eval_setting.default_setting()
+    eval_dict.update(epochs=epochs, do_log=False)
+    sf_para = ev.sf_setting.default_setting(data_dict["num_features"])
+    model_para = {"model_id": model_id,
+                  **ev.model_setting.default_para_dict()}
+    t0 = time.time()
+    perf = ev.kfold_cv_eval(data_dict, eval_dict, sf_para, model_para)
+    dt = time.time() - t0
+    return {"nDCG": [float(x) for x in perf["nDCG"]],
+            "cutoffs": eval_dict["cutoffs"],
+            "wall_s": round(dt, 1),
+            "s_per_fold": round(dt / data_dict["fold_num"], 1)}
+
+
+# -------------------------------------------------------------- reference
+
+def reference_available() -> bool:
+    if not os.path.isdir(os.path.join(REF, "ptranking")):
+        return False
+    try:
+        import torch  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def run_reference(data_id, dir_data, model_id, sf_id, epochs, fold_num,
+                  out_dir, debug=False) -> dict:
+    """Drive the reference's own LTREvaluator.kfold_cv_eval (the same flow as
+    its point_run, ltr.py:483-518, but returning the CV scores)."""
+    sys.path.insert(0, REF)
+    import torch
+
+    torch.manual_seed(137)
+    np.random.seed(137)
+    from ptranking.ltr_adhoc.eval.ltr import LTREvaluator as RefEvaluator
+
+    # the reference builds paths by string concatenation (ltr.py:117-120)
+    dir_data = dir_data.rstrip("/") + "/"
+    out_dir = out_dir.rstrip("/") + "/"
+    os.makedirs(out_dir, exist_ok=True)
+    ev = RefEvaluator()
+    ev.set_eval_setting(debug=debug, dir_output=out_dir)
+    ev.set_data_setting(debug=debug, data_id=data_id, dir_data=dir_data)
+    ev.set_scoring_function_setting(debug=debug, sf_id=sf_id)
+    ev.set_model_setting(debug=debug, model_id=model_id)
+    data_dict = ev.get_default_data_setting()
+    if fold_num:
+        data_dict["fold_num"] = fold_num
+    eval_dict = ev.get_default_eval_setting()
+    eval_dict["epochs"] = epochs
+    # the reference's do_log redirects sys.stdout into its run dir and never
+    # restores it — keep the harness's own output visible
+    eval_dict["do_log"] = False
+    sf_para = ev.get_default_scoring_function_setting()
+    model_para = ev.get_default_model_setting()
+    ev.declare_global(model_id=model_id)
+    t0 = time.time()
+    scores = ev.kfold_cv_eval(data_dict=data_dict, eval_dict=eval_dict,
+                              sf_para_dict=sf_para, model_para_dict=model_para)
+    dt = time.time() - t0
+    return {"nDCG": [float(x) for x in np.asarray(scores).ravel()],
+            "cutoffs": eval_dict["cutoffs"],
+            "wall_s": round(dt, 1),
+            "s_per_fold": round(dt / data_dict["fold_num"], 1)}
+
+
+# ------------------------------------------------------------------- main
+
+def main(argv=None) -> dict:
+    p = argparse.ArgumentParser("real_data_parity")
+    p.add_argument("-data", dest="data_id", default="MQ2008_Super",
+                   help="reference dataset id (MQ2008_Super, MSLRWEB10K, "
+                        "MSLRWEB30K, Yahoo_LTR_Set1, ...)")
+    p.add_argument("-dir_data", default=None,
+                   help="dataset root; omitted => synthetic files are "
+                        "materialised and the A/B runs on those")
+    p.add_argument("-model", default="LambdaRank")
+    p.add_argument("-sf", dest="sf_id", default="pointsf",
+                   choices=["pointsf", "listsf"])
+    p.add_argument("-epochs", type=int, default=100)
+    p.add_argument("-fold_num", type=int, default=None,
+                   help="override the meta fold count (synthetic writes 1 fold)")
+    p.add_argument("-debug", action="store_true")
+    p.add_argument("-skip_reference", action="store_true")
+    p.add_argument("-dir_output", default="./output/parity")
+    p.add_argument("-out", default=None, help="JSON report path")
+    p.add_argument("-synth_queries", default="400,130,130",
+                   help="train,vali,test query counts for synthetic mode")
+    args = p.parse_args(argv)
+
+    synthetic = args.dir_data is None
+    if synthetic:
+        import tempfile
+
+        args.dir_data = tempfile.mkdtemp(prefix="parity_synth_")
+        materialise_synthetic(
+            args.dir_data,
+            queries=tuple(int(x) for x in args.synth_queries.split(",")))
+        if args.fold_num is None:
+            args.fold_num = 1
+        print(f"[synthetic] LETOR files materialised under {args.dir_data}")
+
+    report = {"data_id": args.data_id, "dir_data": args.dir_data,
+              "model": args.model, "sf_id": args.sf_id, "epochs": args.epochs,
+              "synthetic": synthetic}
+    report["cache"] = check_cache_path(args.dir_data, args.data_id)
+
+    print(f"[ours] {args.model}+{args.sf_id} on {args.data_id}, "
+          f"{args.epochs} epochs ...")
+    report["ours"] = run_ours(args.data_id, args.dir_data, args.model,
+                              args.sf_id, args.epochs, args.fold_num,
+                              args.dir_output, args.debug)
+
+    if not args.skip_reference and reference_available():
+        print(f"[reference] wildltr/ptranking torch-CPU, same files ...")
+        report["reference"] = run_reference(
+            args.data_id, args.dir_data, args.model, args.sf_id, args.epochs,
+            args.fold_num, os.path.join(args.dir_output, "ref"), args.debug)
+    else:
+        report["reference"] = None
+        print("[reference] skipped "
+              + ("(flag)" if args.skip_reference else "(torch/reference unavailable)"))
+
+    ks = report["ours"]["cutoffs"]
+    print("\n| framework | " + " | ".join(f"nDCG@{k}" for k in ks)
+          + " | s/fold |")
+    print("|---" * (len(ks) + 2) + "|")
+    for name in ("ours", "reference"):
+        r = report[name]
+        if r:
+            print(f"| {name} | " + " | ".join(f"{v:.4f}" for v in r["nDCG"])
+                  + f" | {r['s_per_fold']} |")
+    if report["reference"]:
+        k5 = ks.index(5) if 5 in ks else 0
+        delta = report["ours"]["nDCG"][k5] - report["reference"]["nDCG"][k5]
+        report["delta_ndcg5"] = round(float(delta), 4)
+        report["parity_pass"] = bool(abs(delta) <= 0.002 or delta > 0)
+        print(f"\nΔ nDCG@5 (ours - reference) = {delta:+.4f} "
+              f"({'PASS: within ±0.002 or better' if report['parity_pass'] else 'FAIL'})")
+
+    out = args.out or os.path.join(args.dir_output, "parity_report.json")
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"[report] {out}")
+    return report
+
+
+if __name__ == "__main__":
+    main()
