@@ -114,7 +114,8 @@ class LTREvaluator:
         # wrecks nDCG
         vali_bd = int(data_dict.get("validation_rough_batch_size", 100))
         test_bd = int(data_dict.get("test_rough_batch_size", 100))
-        train = BucketedDataset(train_qs, batch_docs=batch_docs, num_features=F)
+        train = BucketedDataset(train_qs, batch_docs=batch_docs, num_features=F,
+                                seed=int(eval_dict.get("seed", 137)))
         test = BucketedDataset(test_qs, batch_docs=test_bd, num_features=F)
         vali = (BucketedDataset(vali_qs, batch_docs=vali_bd, num_features=F)
                 if vali_qs is not None else None)
@@ -225,11 +226,14 @@ class LTREvaluator:
         if model_id == "ApproxNDCG" and do_vali:
             eval_dict["vali_metric"] = "nDCG"
 
+        # base seed for init + shuffle; overridable (eval_dict["seed"]) so the
+        # parity harness (tools/real_data_parity.py) can record multi-seed bands
+        base_seed = int(eval_dict.get("seed", 137))
         cv_tape = CVTape(model_id, fold_num, cutoffs, do_vali)
         for fold_k in range(1, fold_num + 1):
             ranker = self.load_ranker(sf_para, model_para_dict,
                                       data_dict["label_type"], eval_dict)
-            ranker.seed = 137 + fold_k
+            ranker.seed = base_seed + fold_k
             ranker.init()
             if (eval_dict.get("device_resident_dtype") is None
                     and getattr(sf_para["scorer"], "compute_dtype", None) == "bfloat16"):

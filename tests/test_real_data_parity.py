@@ -14,7 +14,7 @@ from tools.real_data_parity import main, reference_available
 def test_parity_harness_synthetic(tmp_path):
     report = main([
         "-data", "MQ2008_Super", "-model", "RankMSE", "-sf", "pointsf",
-        "-epochs", "3", "-synth_queries", "60,20,20",
+        "-epochs", "3", "-synth_queries", "60,20,20", "-no_assert",
         "-dir_output", str(tmp_path), "-out", str(tmp_path / "report.json"),
     ])
     assert report["synthetic"] is True

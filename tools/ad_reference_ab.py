@@ -126,6 +126,10 @@ def run_reference(model_id: str, f_train: str, f_test: str, seed: int,
         machine = IRFGAN_Pair(eval_dict=eval_dict, data_dict=data_dict,
                               sf_para_dict=sf_para, ad_para_dict=ad_para)
 
+    # the reference evaluator resets the players before each fold — without
+    # this the players have no point_sf and first scoring raises
+    # (ltr_adversarial/eval/ltr_adversarial.py:112, base/point_ranker.py:58)
+    machine.reset_generator_discriminator()
     g, d = machine.get_generator(), machine.get_discriminator()
     buffer = {}
     machine.fill_global_buffer(train, dict_buffer=buffer)
@@ -148,25 +152,40 @@ def run_reference(model_id: str, f_train: str, f_test: str, seed: int,
 
 
 def main(argv=None):
-    seeds = [int(s) for s in (argv or sys.argv[1:])] or [137, 7]
+    import argparse
+
+    p = argparse.ArgumentParser("ad_reference_ab")
+    p.add_argument("-seeds", default="137,7")
+    p.add_argument("-models", default="IRGAN_Pair,IRFGAN_Pair")
+    p.add_argument("-epochs", type=int, default=20)
+    p.add_argument("-out", default=None, help="JSON report path")
+    args = p.parse_args(argv)
+
+    seeds = [int(s) for s in args.seeds.split(",")]
+    track = [e for e in TRACK if e <= args.epochs]
     report = {}
     for seed in seeds:
         dir_data = tempfile.mkdtemp(prefix=f"ad_ab_{seed}_")
         f_train, f_test = write_protocol_files(seed, dir_data)
-        for model_id in ("IRGAN_Pair", "IRFGAN_Pair"):
-            ours = run_ours(model_id, f_train, f_test, seed)
-            ref = run_reference(model_id, f_train, f_test, seed)
+        for model_id in args.models.split(","):
+            ours = run_ours(model_id, f_train, f_test, seed,
+                            epochs=args.epochs)
+            ref = run_reference(model_id, f_train, f_test, seed,
+                                epochs=args.epochs)
             report[f"{model_id}@{seed}"] = {"ours": ours, "reference": ref}
             print(f"\nseed {seed} {model_id} (test nDCG@5 per minimax epoch):")
             print("| epoch | ours G | ref G | ours D | ref D |")
             print("|---|---|---|---|---|")
-            for e in [0] + [e for e in TRACK]:
+            for e in [0] + track:
                 o, r = ours.get(e), ref.get(e)
                 if o and r:
                     print(f"| {e} | {o['G']:.4f} | {r['G']:.4f} "
                           f"| {o['D']:.4f} | {r['D']:.4f} |")
             sys.stdout.flush()
     print("\n" + json.dumps(report))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
     return report
 
 

@@ -24,15 +24,22 @@ Without -dir_data it materialises a synthetic MQ2008-shaped split as LETOR
 FILES first (write_letor_file), so the ENTIRE file path — native C++ parser,
 .npz cache write + reload, Fold layout, both frameworks' loaders — is
 exercised end to end and the A/B runs for real. That synthetic mode is the
-CI fallback (tests/test_real_data_parity.py) and was used for the recorded
-parity results in BASELINE.md.
+CI fallback (tests/test_real_data_parity.py) and produced the recorded
+multi-seed parity band in BASELINE.md ("Real-data parity harness" section),
+via:
 
-Expected wall-clock per fold (measured, see BASELINE.md "Real-data parity
-harness" section): synthetic debug ≈ 1-2 min CPU; MQ2008 (Fold, ~800
-queries, 100 epochs) ≈ 4 min on one v5e chip / ≈ 40 min reference torch-CPU;
-WEB30K (one fold ≈ 2.7 GB text, ~19k train queries) ≈ first parse 1-2 min
-(native parser ≈ 50 MB/s) then .npz reloads in seconds, ≈ 35 min/fold on one
-chip at 100 epochs (dispatch-fused resident path).
+  env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python -m tools.real_data_parity \
+      -seeds 137,7,999 -epochs 30 -sf pointsf
+
+Single runs are NOT decisive — run-to-run variance (init + shuffle + data
+realisation) spans several hundredths of nDCG@5 on the synthetic protocol,
+which is why the band mode exists: the verdict compares the mean Δ and
+checks each of our realisations against the reference's min/max band
+(±0.002 slack). The process exits nonzero on a FAIL verdict so CI and
+scripts can assert parity (-no_assert disables that).
+
+Measured wall-clocks are recorded next to the band in BASELINE.md; this
+docstring intentionally carries none.
 """
 
 from __future__ import annotations
@@ -111,7 +118,7 @@ def check_cache_path(dir_data: str, data_id: str) -> dict:
 # ------------------------------------------------------------------- ours
 
 def run_ours(data_id, dir_data, model_id, sf_id, epochs, fold_num, out_dir,
-             debug=False) -> dict:
+             debug=False, seed: int = 137) -> dict:
     from ptranking_tpu.eval import LTREvaluator
 
     ev = LTREvaluator()
@@ -120,7 +127,7 @@ def run_ours(data_id, dir_data, model_id, sf_id, epochs, fold_num, out_dir,
     if fold_num:
         data_dict["fold_num"] = fold_num
     eval_dict = ev.eval_setting.default_setting()
-    eval_dict.update(epochs=epochs, do_log=False)
+    eval_dict.update(epochs=epochs, do_log=False, seed=seed)
     sf_para = ev.sf_setting.default_setting(data_dict["num_features"])
     model_para = {"model_id": model_id,
                   **ev.model_setting.default_para_dict()}
@@ -146,14 +153,16 @@ def reference_available() -> bool:
 
 
 def run_reference(data_id, dir_data, model_id, sf_id, epochs, fold_num,
-                  out_dir, debug=False) -> dict:
+                  out_dir, debug=False, seed: int = 137) -> dict:
     """Drive the reference's own LTREvaluator.kfold_cv_eval (the same flow as
-    its point_run, ltr.py:483-518, but returning the CV scores)."""
+    its point_run, ltr.py:483-518, but returning the CV scores). The
+    reference has no internal seeding, so its realisation is pinned here via
+    the torch/numpy global RNGs."""
     sys.path.insert(0, REF)
     import torch
 
-    torch.manual_seed(137)
-    np.random.seed(137)
+    torch.manual_seed(seed)
+    np.random.seed(seed)
     from ptranking.ltr_adhoc.eval.ltr import LTREvaluator as RefEvaluator
 
     # the reference builds paths by string concatenation (ltr.py:117-120)
@@ -188,56 +197,36 @@ def run_reference(data_id, dir_data, model_id, sf_id, epochs, fold_num,
 
 # ------------------------------------------------------------------- main
 
-def main(argv=None) -> dict:
-    p = argparse.ArgumentParser("real_data_parity")
-    p.add_argument("-data", dest="data_id", default="MQ2008_Super",
-                   help="reference dataset id (MQ2008_Super, MSLRWEB10K, "
-                        "MSLRWEB30K, Yahoo_LTR_Set1, ...)")
-    p.add_argument("-dir_data", default=None,
-                   help="dataset root; omitted => synthetic files are "
-                        "materialised and the A/B runs on those")
-    p.add_argument("-model", default="LambdaRank")
-    p.add_argument("-sf", dest="sf_id", default="pointsf",
-                   choices=["pointsf", "listsf"])
-    p.add_argument("-epochs", type=int, default=100)
-    p.add_argument("-fold_num", type=int, default=None,
-                   help="override the meta fold count (synthetic writes 1 fold)")
-    p.add_argument("-debug", action="store_true")
-    p.add_argument("-skip_reference", action="store_true")
-    p.add_argument("-dir_output", default="./output/parity")
-    p.add_argument("-out", default=None, help="JSON report path")
-    p.add_argument("-synth_queries", default="400,130,130",
-                   help="train,vali,test query counts for synthetic mode")
-    args = p.parse_args(argv)
-
-    synthetic = args.dir_data is None
-    if synthetic:
+def run_one(args, seed: int) -> dict:
+    """One full A/B realisation at `seed`: data materialisation (synthetic
+    mode), our CV run, the reference CV run, the per-seed verdict."""
+    dir_data = args.dir_data
+    if args.synthetic:
         import tempfile
 
-        args.dir_data = tempfile.mkdtemp(prefix="parity_synth_")
+        dir_data = tempfile.mkdtemp(prefix=f"parity_synth_{seed}_")
         materialise_synthetic(
-            args.dir_data,
+            dir_data, seed=seed,
             queries=tuple(int(x) for x in args.synth_queries.split(",")))
-        if args.fold_num is None:
-            args.fold_num = 1
-        print(f"[synthetic] LETOR files materialised under {args.dir_data}")
+        print(f"[synthetic seed={seed}] LETOR files under {dir_data}")
 
-    report = {"data_id": args.data_id, "dir_data": args.dir_data,
+    report = {"data_id": args.data_id, "dir_data": dir_data,
               "model": args.model, "sf_id": args.sf_id, "epochs": args.epochs,
-              "synthetic": synthetic}
-    report["cache"] = check_cache_path(args.dir_data, args.data_id)
+              "seed": seed, "synthetic": args.synthetic}
+    report["cache"] = check_cache_path(dir_data, args.data_id)
 
     print(f"[ours] {args.model}+{args.sf_id} on {args.data_id}, "
-          f"{args.epochs} epochs ...")
-    report["ours"] = run_ours(args.data_id, args.dir_data, args.model,
+          f"{args.epochs} epochs, seed {seed} ...")
+    report["ours"] = run_ours(args.data_id, dir_data, args.model,
                               args.sf_id, args.epochs, args.fold_num,
-                              args.dir_output, args.debug)
+                              args.dir_output, args.debug, seed=seed)
 
     if not args.skip_reference and reference_available():
         print(f"[reference] wildltr/ptranking torch-CPU, same files ...")
         report["reference"] = run_reference(
-            args.data_id, args.dir_data, args.model, args.sf_id, args.epochs,
-            args.fold_num, os.path.join(args.dir_output, "ref"), args.debug)
+            args.data_id, dir_data, args.model, args.sf_id, args.epochs,
+            args.fold_num, os.path.join(args.dir_output, "ref"), args.debug,
+            seed=seed)
     else:
         report["reference"] = None
         print("[reference] skipped "
@@ -257,14 +246,93 @@ def main(argv=None) -> dict:
         delta = report["ours"]["nDCG"][k5] - report["reference"]["nDCG"][k5]
         report["delta_ndcg5"] = round(float(delta), 4)
         report["parity_pass"] = bool(abs(delta) <= 0.002 or delta > 0)
-        print(f"\nΔ nDCG@5 (ours - reference) = {delta:+.4f} "
+        print(f"\n[seed {seed}] Δ nDCG@5 (ours - reference) = {delta:+.4f} "
               f"({'PASS: within ±0.002 or better' if report['parity_pass'] else 'FAIL'})")
+    return report
+
+
+def main(argv=None) -> dict:
+    p = argparse.ArgumentParser("real_data_parity")
+    p.add_argument("-data", dest="data_id", default="MQ2008_Super",
+                   help="reference dataset id (MQ2008_Super, MSLRWEB10K, "
+                        "MSLRWEB30K, Yahoo_LTR_Set1, ...)")
+    p.add_argument("-dir_data", default=None,
+                   help="dataset root; omitted => synthetic files are "
+                        "materialised and the A/B runs on those")
+    p.add_argument("-model", default="LambdaRank")
+    p.add_argument("-sf", dest="sf_id", default="pointsf",
+                   choices=["pointsf", "listsf"])
+    p.add_argument("-epochs", type=int, default=100)
+    p.add_argument("-fold_num", type=int, default=None,
+                   help="override the meta fold count (synthetic writes 1 fold)")
+    p.add_argument("-seed", type=int, default=137,
+                   help="seed for data realisation + init + shuffle (both "
+                        "frameworks)")
+    p.add_argument("-seeds", default=None,
+                   help="comma list (e.g. 137,7,999): run every seed and "
+                        "record the parity BAND — the decisive mode")
+    p.add_argument("-debug", action="store_true")
+    p.add_argument("-skip_reference", action="store_true")
+    p.add_argument("-no_assert", action="store_true",
+                   help="do not exit nonzero on a FAIL verdict")
+    p.add_argument("-dir_output", default="./output/parity")
+    p.add_argument("-out", default=None, help="JSON report path")
+    p.add_argument("-synth_queries", default="400,130,130",
+                   help="train,vali,test query counts for synthetic mode")
+    args = p.parse_args(argv)
+
+    args.synthetic = args.dir_data is None
+    if args.synthetic and args.fold_num is None:
+        args.fold_num = 1
+
+    seeds = ([int(s) for s in args.seeds.split(",")] if args.seeds
+             else [args.seed])
+    per_seed = [run_one(args, seed) for seed in seeds]
+
+    if len(seeds) == 1:
+        report = per_seed[0]
+    else:
+        report = {"data_id": args.data_id, "model": args.model,
+                  "sf_id": args.sf_id, "epochs": args.epochs,
+                  "seeds": seeds, "runs": per_seed}
+        refd = [r for r in per_seed if r["reference"]]
+        if refd:
+            ks = refd[0]["ours"]["cutoffs"]
+            k5 = ks.index(5) if 5 in ks else 0
+            ours5 = [r["ours"]["nDCG"][k5] for r in refd]
+            ref5 = [r["reference"]["nDCG"][k5] for r in refd]
+            deltas = [o - f for o, f in zip(ours5, ref5)]
+            mean_delta = float(np.mean(deltas))
+            band = (min(ref5), max(ref5))
+            in_band = [band[0] - 0.002 <= o for o in ours5]
+            report["band"] = {
+                "ours_ndcg5": [round(v, 4) for v in ours5],
+                "reference_ndcg5": [round(v, 4) for v in ref5],
+                "deltas": [round(d, 4) for d in deltas],
+                "mean_delta": round(mean_delta, 4),
+                "reference_band": [round(band[0], 4), round(band[1], 4)],
+                "ours_at_or_above_band": in_band,
+            }
+            # verdict: mean Δ within the ±0.002 bar or better, AND no
+            # realisation of ours falls below the reference band − 0.002
+            report["parity_pass"] = bool(mean_delta >= -0.002 and all(in_band))
+            print(f"\n=== BAND ({args.model}+{args.sf_id}, {args.epochs} ep, "
+                  f"seeds {seeds}) ===")
+            print("| seed | ours nDCG@5 | ref nDCG@5 | Δ |")
+            print("|---|---|---|---|")
+            for s, o, f, d in zip(seeds, ours5, ref5, deltas):
+                print(f"| {s} | {o:.4f} | {f:.4f} | {d:+.4f} |")
+            print(f"mean Δ = {mean_delta:+.4f}; reference band = "
+                  f"[{band[0]:.4f}, {band[1]:.4f}]; verdict: "
+                  f"{'PASS' if report['parity_pass'] else 'FAIL'}")
 
     out = args.out or os.path.join(args.dir_output, "parity_report.json")
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     with open(out, "w") as f:
         json.dump(report, f, indent=2)
     print(f"[report] {out}")
+    if not args.no_assert and report.get("parity_pass") is False:
+        raise SystemExit(1)
     return report
 
 
