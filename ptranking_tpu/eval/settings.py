@@ -170,8 +170,11 @@ class EvalSetting:
         # device-resident knobs (TPU runtime, no reference analogue): on/off,
         # HBM budget, and feature storage dtype (None=fp32 / "bfloat16" /
         # "int8" quarter-size affine-quantized)
+        # `seed` (base init+shuffle seed, default 137) is threaded so the
+        # parity harness / band tests can run multi-seed realisations
         for k in ("device_resident", "device_resident_bytes",
-                  "device_resident_dtype", "save_train_state", "resume"):
+                  "device_resident_dtype", "save_train_state", "resume",
+                  "seed"):
             if k in j:
                 d[k] = _first(j[k])
         # mesh-parallel knobs (TPU runtime, no reference analogue): a `mesh`
@@ -216,6 +219,8 @@ class EvalSetting:
         # and bf16/int8 runs must not share an output directory
         if d.get("device_resident_dtype"):
             parts += ["R" + str(d["device_resident_dtype"])]
+        if d.get("seed") not in (None, 137):  # non-default seed changes results
+            parts += ["S" + str(d["seed"])]
         if d.get("mesh"):
             m = d["mesh"]
             tok = "Mesh" + "".join(f"{ax[0]}{m[ax]}" for ax in

@@ -23,7 +23,7 @@ def protocol_data(seed: int, F: int = 32):
 
 
 def run_machine(model_id: str, train_ds, test_ds, seed: int,
-                epochs: int = 20, F: int = 32):
+                epochs: int = 20, F: int = 32, burn_in: int = 5):
     from ptranking_tpu.adversarial.evaluator import AD_MACHINES
     from ptranking_tpu.models import ScorerConfig
     from ptranking_tpu.train import OptimizerConfig
@@ -36,7 +36,7 @@ def run_machine(model_id: str, train_ds, test_ds, seed: int,
     init = {n: float(p.evaluate(test_ds, ks=(5,))["nDCG"][0])
             for n, p in (("G", machine.get_generator()),
                          ("D", machine.get_discriminator()))}
-    for _ in range(5):
+    for _ in range(burn_in):
         machine.burn_in(train_data=list(train_ds.batches()))
     for epoch_k in range(1, epochs + 1):
         machine.mini_max_train(
@@ -47,12 +47,22 @@ def run_machine(model_id: str, train_ds, test_ds, seed: int,
     return init, final
 
 
-def main():
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser("ad_quality")
+    p.add_argument("-seeds", default="137,7")
+    p.add_argument("-models", default="IRGAN_Point,IRGAN_Pair,IRFGAN_Pair")
+    p.add_argument("-epochs", type=int, default=20)
+    p.add_argument("-burn_in", type=int, default=5)
+    args = p.parse_args(argv)
+
     rows = []
-    for seed in (137, 7):
+    for seed in [int(s) for s in args.seeds.split(",")]:
         train_ds, test_ds = protocol_data(seed)
-        for model_id in ("IRGAN_Point", "IRGAN_Pair", "IRFGAN_Pair"):
-            init, final = run_machine(model_id, train_ds, test_ds, seed)
+        for model_id in args.models.split(","):
+            init, final = run_machine(model_id, train_ds, test_ds, seed,
+                                      epochs=args.epochs, burn_in=args.burn_in)
             rows.append((seed, model_id, init, final))
             print(f"seed {seed} {model_id}: "
                   f"G {init['G']:.4f}->{final['G']:.4f}  "

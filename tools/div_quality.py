@@ -39,17 +39,25 @@ def run_model(model_id: str, paras, train_ds, test_ds, seed: int,
     return init_perf, final
 
 
-def main():
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser("div_quality")
+    p.add_argument("-seeds", default="137,7")
+    p.add_argument("-epochs", type=int, default=30)
+    args = p.parse_args(argv)
+
     rows = []
     MODELS = [
         ("DALETOR", {}),
         ("DivProbRanker", {"opt_id": "SuperSoft", "metric": "aNDCG"}),
     ]
-    for seed in (137, 7):
+    for seed in [int(s) for s in args.seeds.split(",")]:
         train_ds, test_ds = protocol_data(seed)
         for model_id, paras in MODELS:
             label = model_id if not paras else f"{model_id}/{paras['opt_id']}"
-            init_perf, final = run_model(model_id, paras, train_ds, test_ds, seed)
+            init_perf, final = run_model(model_id, paras, train_ds, test_ds,
+                                         seed, epochs=args.epochs)
             rows.append((seed, label, init_perf, final))
             print(f"seed {seed} {label}: aNDCG@5 untrained={init_perf:.4f} "
                   f"trained={final:.4f}", flush=True)

@@ -165,6 +165,20 @@ def run_reference(data_id, dir_data, model_id, sf_id, epochs, fold_num,
     np.random.seed(seed)
     from ptranking.ltr_adhoc.eval.ltr import LTREvaluator as RefEvaluator
 
+    # Reference bug, listsf only: AdhocNeuralRanker.load (adhoc_ranker.py:81)
+    # passes device= to ListNeuralRanker.load (list_ranker.py:398) which does
+    # not accept it, so every validated listsf CV run crashes when reloading
+    # the fold-optimal checkpoint. Accept-and-ignore the kwarg (CPU run;
+    # behaviour unchanged) so the A/B can complete.
+    import inspect
+
+    from ptranking.base.list_ranker import ListNeuralRanker
+
+    if "device" not in inspect.signature(ListNeuralRanker.load).parameters:
+        _orig_load = ListNeuralRanker.load
+        ListNeuralRanker.load = (
+            lambda self, file_model, device=None, **kw: _orig_load(self, file_model))
+
     # the reference builds paths by string concatenation (ltr.py:117-120)
     dir_data = dir_data.rstrip("/") + "/"
     out_dir = out_dir.rstrip("/") + "/"

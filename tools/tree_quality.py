@@ -98,13 +98,23 @@ def run_lightgbm(train, vali, test, seed: int):
         [y_te[off[i]:off[i + 1]] for i in range(len(g_te))])
 
 
-def main():
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser("tree_quality")
+    p.add_argument("-seeds", default="137,7")
+    p.add_argument("-epochs", type=int, default=30, help="neural-row epochs")
+    p.add_argument("-trees", type=int, default=None,
+                   help="override GBDT num_trees (smoke tests)")
+    args = p.parse_args(argv)
+    overrides = {"num_trees": args.trees} if args.trees else {}
+
     rows = []
-    for seed in (137, 7):
+    for seed in [int(s) for s in args.seeds.split(",")]:
         train, vali, test = protocol_data(seed)
-        g = run_gbdt(train, vali, test, seed)
-        gr = run_gbdt(train, vali, test, seed, **SMALL_DATA_RECIPE)
-        n = run_neural(train, vali, test, seed)
+        g = run_gbdt(train, vali, test, seed, **overrides)
+        gr = run_gbdt(train, vali, test, seed, **SMALL_DATA_RECIPE, **overrides)
+        n = run_neural(train, vali, test, seed, epochs=args.epochs)
         l = run_lightgbm(train, vali, test, seed)
         rows.append((seed, g, gr, n, l))
         print(f"seed {seed}: TPUGBDT(defaults) nDCG@5={g:.4f}  "
