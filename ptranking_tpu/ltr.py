@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-pp_stages", type=int, default=None,
                    help="stage the listsf encoder over the model axis at inference")
     p.add_argument("-scan_steps", type=int, default=None, help="train batches fused per device dispatch")
+    p.add_argument("-seed", type=int, default=None,
+                   help="base init+shuffle seed (default 137); multi-seed "
+                        "bands via tools/real_data_parity.py")
     return p
 
 
@@ -151,8 +154,10 @@ def main(argv=None):
             **parse_mesh_overrides(args),  # DivRanker DP when -mesh is given
         )
 
-    evaluator = LTREvaluator(cuda=args.cuda,
-                             mesh_overrides=parse_mesh_overrides(args))
+    adhoc_overrides = parse_mesh_overrides(args)
+    if args.seed is not None:
+        adhoc_overrides["seed"] = args.seed
+    evaluator = LTREvaluator(cuda=args.cuda, mesh_overrides=adhoc_overrides)
     return evaluator.run(
         debug=args.debug, model_id=args.model, sf_id=args.sf_id,
         config_with_json=args.dir_json is not None, dir_json=args.dir_json,
