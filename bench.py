@@ -192,27 +192,44 @@ def bench_real_epoch(resident_dtype=None) -> dict:
                                       compute_dtype="bfloat16")
     r = AdhocRanker("LambdaRank", cfg,
                     opt_cfg=OptimizerConfig(opt="Adagrad", lr=1e-3)).init()
-    r.train_epoch_resident(res, 1)  # compile epoch
-    t0 = _time.perf_counter()
-    for e in (2, 3):
-        loss, _ = r.train_epoch_resident(res, e)
-    dt = _time.perf_counter() - t0
-    r.evaluate(res, ks=(1, 5))  # compile
-    t1 = _time.perf_counter()
-    r.evaluate(res, ks=(1, 5))
-    dt_eval = _time.perf_counter() - t1
-    out = {"epoch_train_lists_per_s": round(2 * ds.num_queries / dt, 2),
-           "epoch_eval_lists_per_s": round(ds.num_queries / dt_eval, 2)}
+
+    # A full epoch at these rates is SHORT (eval ~60-90 ms, train ~0.6 s on
+    # the tunneled chip), so single-shot timings carry >±10% RPC jitter —
+    # that noise is exactly what r3->r4 "drift" and the int8-eval sign flip
+    # were (VERDICT r4 weak #4). Report the MEDIAN over repeats plus the
+    # spread so round-over-round comparisons know the error bar.
+    def median_rate(fn, n_units, reps):
+        fn()  # compile / warm
+        ts = []
+        for _ in range(reps):
+            t0 = _time.perf_counter()
+            fn()
+            ts.append(_time.perf_counter() - t0)
+        ts = sorted(ts)
+        med = ts[len(ts) // 2]
+        spread = (ts[-1] - ts[0]) / med if med else 0.0
+        return round(n_units / med, 2), round(spread, 3)
+
+    ep = {"e": 1}
+
+    def train_two_epochs():
+        for _ in (0, 1):
+            ep["e"] += 1
+            r.train_epoch_resident(res, ep["e"])
+
+    out = {}
+    out["epoch_train_lists_per_s"], out["epoch_train_spread"] = median_rate(
+        train_two_epochs, 2 * ds.num_queries, reps=3)
+    out["epoch_eval_lists_per_s"], out["epoch_eval_spread"] = median_rate(
+        lambda: r.evaluate(res, ks=(1, 5)), ds.num_queries, reps=7)
     if resident_dtype is None:
         # int8-WEIGHT serving variant (models/quantize.py): dense matmuls on
         # the MXU integer path — the scoring-CLI -quantize int8 config.
         # Independent of residency dtype, so measured once (fp32 call only)
         rq = r.quantized()
-        rq.evaluate(res, ks=(1, 5))  # compile
-        t2 = _time.perf_counter()
-        rq.evaluate(res, ks=(1, 5))
-        out["epoch_eval_int8w_lists_per_s"] = round(
-            ds.num_queries / (_time.perf_counter() - t2), 2)
+        (out["epoch_eval_int8w_lists_per_s"],
+         out["epoch_eval_int8w_spread"]) = median_rate(
+            lambda: rq.evaluate(res, ks=(1, 5)), ds.num_queries, reps=7)
     return out
 
 
