@@ -171,12 +171,14 @@ def bench_point(B: int, N: int, dtype: str, overrides=None):
     return point
 
 
-def bench_real_epoch(resident_dtype=None) -> dict:
+def bench_real_epoch(resident_dtype=None, batch_docs=512) -> dict:
     """Realistic end-to-end training epoch: ragged lists, bucketed batches,
     the device-resident gather-fused path (the evaluator default). This is
     the number a real run sees, dispatch and data movement included.
     resident_dtype="int8" measures the quantized-residency variant (4x less
-    gather bandwidth)."""
+    gather bandwidth). batch_docs=512 is the historical protocol point;
+    2048 is the throughput-tuned point from the tools/profile_step sweep
+    (per-step fixed cost amortises by ~2k docs/step — docs/performance.md)."""
     import time as _time
 
     from ptranking_tpu.data.dataset import make_synthetic_queries, BucketedDataset
@@ -186,7 +188,7 @@ def bench_real_epoch(resident_dtype=None) -> dict:
 
     qs = make_synthetic_queries(num_queries=2000, num_features=F, seed=3,
                                 min_docs=20, max_docs=250)
-    ds = BucketedDataset(qs, batch_docs=512)
+    ds = BucketedDataset(qs, batch_docs=batch_docs)
     res = DeviceResidentDataset(ds, dtype=resident_dtype)
     cfg = ScorerConfig.default_listsf(num_features=F, dropout=0.1,
                                       compute_dtype="bfloat16")
@@ -356,6 +358,15 @@ def main():
             epoch_int8 = bench_real_epoch(resident_dtype="int8")
     except Exception as exc:
         epoch_int8 = {"error": type(exc).__name__}
+    try:
+        # throughput-tuned operating point (tools/profile_step batch_docs
+        # sweep: +50% over the 512 protocol point; quality A/B in BASELINE.md)
+        if time.perf_counter() - t_start > 2.0 * BUDGET_S:
+            epoch_bd2048 = {"skipped": "budget"}
+        else:
+            epoch_bd2048 = bench_real_epoch(batch_docs=2048)
+    except Exception as exc:
+        epoch_bd2048 = {"error": type(exc).__name__}
     vs = (best["lists_per_s"] / baseline) if baseline else None
     print(json.dumps({
         "metric": "lists/s/chip (WEB30K-shape LambdaRank + DASALC listsf)",
@@ -367,6 +378,7 @@ def main():
         "best_point": {k: best[k] for k in ("B", "N", "dtype", "variant") if k in best},
         "real_epoch": epoch,
         "real_epoch_int8": epoch_int8,
+        "real_epoch_bd2048": epoch_bd2048,
         "points_skipped_for_budget": skipped,
         "points": points,
     }), flush=True)
