@@ -20,14 +20,31 @@ from ptranking_tpu.types import RankingBatch
 DEFAULT_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 1536)
 
 
-def pick_buckets(sizes: Sequence[int], buckets: Sequence[int] = DEFAULT_BUCKETS) -> List[int]:
+def geometric_buckets(growth: float = 2.0, start: int = 16,
+                      cap: int = 1536) -> Tuple[int, ...]:
+    """Bucket widths growing by `growth`, rounded up to multiples of 8 (VPU
+    sublane). growth=2.0 reproduces DEFAULT_BUCKETS; denser growth (1.5,
+    1.25) trades more compiled shapes for less padding — the profile_step
+    sweep measured ~72% real-doc occupancy on 20-250-doc ragged data at
+    growth 2.0, making padding the largest recoverable real-epoch cost
+    (docs/performance.md round 5)."""
+    bs = [start]
+    while bs[-1] < cap:
+        nxt = max(bs[-1] + 8, int(math.ceil(bs[-1] * growth / 8) * 8))
+        bs.append(min(nxt, cap))
+    return tuple(bs)
+
+
+def pick_buckets(sizes: Sequence[int], buckets: Sequence[int] = DEFAULT_BUCKETS,
+                 growth: float = 2.0) -> List[int]:
     """Keep only the buckets actually needed for the observed list sizes."""
     buckets = sorted(buckets)
     if not sizes:
         return [buckets[0]]
     mx = max(sizes)
     while buckets[-1] < mx:
-        buckets.append(buckets[-1] * 2)
+        buckets.append(max(buckets[-1] + 8,
+                           int(math.ceil(buckets[-1] * growth / 8) * 8)))
     needed = set()
     for s in sizes:
         needed.add(next(b for b in buckets if b >= s))
@@ -47,16 +64,20 @@ class BucketedDataset:
         self,
         queries: Sequence[Query],
         batch_docs: int = 2048,
-        buckets: Sequence[int] = DEFAULT_BUCKETS,
+        buckets: Optional[Sequence[int]] = None,
         num_features: Optional[int] = None,
         max_list_size: Optional[int] = None,
         seed: int = 137,
+        bucket_growth: float = 2.0,
     ):
         self.seed = seed
         sizes = [len(q[2]) for q in queries]
         if max_list_size is not None:
             sizes = [min(s, max_list_size) for s in sizes]
-        self.buckets = pick_buckets(sizes, buckets)
+        if buckets is None:
+            buckets = (DEFAULT_BUCKETS if bucket_growth == 2.0
+                       else geometric_buckets(bucket_growth))
+        self.buckets = pick_buckets(sizes, buckets, growth=bucket_growth)
         self.num_features = num_features or (queries[0][1].shape[1] if queries else 0)
         self.batch_docs = batch_docs
         self._by_bucket: dict = {b: [] for b in self.buckets}

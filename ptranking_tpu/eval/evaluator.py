@@ -114,8 +114,12 @@ class LTREvaluator:
         # wrecks nDCG
         vali_bd = int(data_dict.get("validation_rough_batch_size", 100))
         test_bd = int(data_dict.get("test_rough_batch_size", 100))
+        # bucket_growth shapes TRAIN batches only: eval batches stay at the
+        # reference's 100-doc rough size and power-of-two widths (BN batch-
+        # statistics parity, above)
         train = BucketedDataset(train_qs, batch_docs=batch_docs, num_features=F,
-                                seed=int(eval_dict.get("seed", 137)))
+                                seed=int(eval_dict.get("seed", 137)),
+                                bucket_growth=float(data_dict.get("bucket_growth", 2.0)))
         test = BucketedDataset(test_qs, batch_docs=test_bd, num_features=F)
         vali = (BucketedDataset(vali_qs, batch_docs=vali_bd, num_features=F)
                 if vali_qs is not None else None)

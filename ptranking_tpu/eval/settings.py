@@ -86,6 +86,10 @@ class DataSetting:
             # reference hard-codes 100-doc vali/test batches (parameter.py:581,590)
             validation_rough_batch_size=_first(j.get("validation_rough_batch_size", 100)),
             test_rough_batch_size=_first(j.get("test_rough_batch_size", 100)),
+            # TPU-native: train bucket-width growth factor (2.0 = powers of
+            # two; 1.5/1.25 = denser widths, less padding, more compiled
+            # shapes — measured trade in docs/performance.md round 5)
+            bucket_growth=float(_first(j.get("bucket_growth", 2.0))),
         )
         self.data_dict = d
         return d
@@ -116,6 +120,8 @@ class DataSetting:
         s1 = ":" if log else "_"
         parts = [d["data_id"], s1.join(["MiD", str(d["min_docs"])]), s1.join(["MiR", str(d["min_rele"])]),
                  s1.join(["TrBat", str(d["tr_batch_size"])])]
+        if d.get("bucket_growth", 2.0) != 2.0:  # result-changing batch former
+            parts.append("BG" + str(d["bucket_growth"]))
         if d.get("binary_rele"):
             parts.append("BiRele")
         if d.get("unknown_as_zero"):

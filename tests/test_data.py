@@ -114,6 +114,34 @@ def test_bucketed_dataset_shapes_and_coverage():
     assert len(shapes) <= 3  # few compiled shapes
 
 
+def test_geometric_buckets_and_occupancy():
+    """Denser bucket growth = strictly less padding, same query coverage
+    (the round-5 padding-occupancy lever, docs/performance.md)."""
+    from ptranking_tpu.data.dataset import geometric_buckets
+
+    assert geometric_buckets(2.0) == (16, 32, 64, 128, 256, 512, 1024, 1536)
+    for g in (1.5, 1.25):
+        bs = geometric_buckets(g)
+        assert all(b % 8 == 0 for b in bs) and bs[-1] == 1536
+        assert all(b2 > b1 for b1, b2 in zip(bs, bs[1:]))
+
+    qs = make_synthetic_queries(num_queries=300, min_docs=20, max_docs=250,
+                                seed=4)
+    total = sum(len(l) for _, _, l in qs)
+
+    def occupancy(ds):
+        padded = sum(b * len(items) for b, items in ds._by_bucket.items())
+        return total / padded
+
+    occ, seen = {}, {}
+    for g in (2.0, 1.25):
+        ds = BucketedDataset(qs, batch_docs=512, bucket_growth=g)
+        occ[g] = occupancy(ds)
+        seen[g] = sum(int(b.mask.any(axis=1).sum()) for b in ds.batches())
+    assert seen[2.0] == seen[1.25] == 300
+    assert occ[1.25] > occ[2.0]
+
+
 def test_bucketed_dataset_shuffle_changes_order_not_content():
     qs = make_synthetic_queries(num_queries=30, seed=2)
     ds = BucketedDataset(qs, batch_docs=128)

@@ -118,7 +118,8 @@ def check_cache_path(dir_data: str, data_id: str) -> dict:
 # ------------------------------------------------------------------- ours
 
 def run_ours(data_id, dir_data, model_id, sf_id, epochs, fold_num, out_dir,
-             debug=False, seed: int = 137, tr_batch_size=None) -> dict:
+             debug=False, seed: int = 137, tr_batch_size=None,
+             bucket_growth=None) -> dict:
     from ptranking_tpu.eval import LTREvaluator
 
     ev = LTREvaluator()
@@ -128,6 +129,8 @@ def run_ours(data_id, dir_data, model_id, sf_id, epochs, fold_num, out_dir,
         data_dict["fold_num"] = fold_num
     if tr_batch_size:  # throughput-vs-quality A/Bs (docs/performance.md)
         data_dict["tr_batch_size"] = tr_batch_size
+    if bucket_growth:
+        data_dict["bucket_growth"] = bucket_growth
     eval_dict = ev.eval_setting.default_setting()
     eval_dict.update(epochs=epochs, do_log=False, seed=seed)
     sf_para = ev.sf_setting.default_setting(data_dict["num_features"])
@@ -236,7 +239,8 @@ def run_one(args, seed: int) -> dict:
     report["ours"] = run_ours(args.data_id, dir_data, args.model,
                               args.sf_id, args.epochs, args.fold_num,
                               args.dir_output, args.debug, seed=seed,
-                              tr_batch_size=args.tr_batch_size)
+                              tr_batch_size=args.tr_batch_size,
+                              bucket_growth=args.bucket_growth)
 
     if not args.skip_reference and reference_available():
         print(f"[reference] wildltr/ptranking torch-CPU, same files ...")
@@ -299,6 +303,9 @@ def main(argv=None) -> dict:
     p.add_argument("-tr_batch_size", type=int, default=None,
                    help="override OUR train batch_docs (throughput-vs-"
                         "quality A/Bs; the reference keeps its default)")
+    p.add_argument("-bucket_growth", type=float, default=None,
+                   help="override OUR train bucket-width growth factor "
+                        "(2.0 default; 1.5/1.25 denser)")
     args = p.parse_args(argv)
 
     args.synthetic = args.dir_data is None
