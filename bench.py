@@ -328,13 +328,20 @@ def main():
     t_start = time.perf_counter()
     points = []
     skipped = 0
+    import sys as _sys
     for B, N, dtype, *rest in SWEEP:
         if points and time.perf_counter() - t_start > BUDGET_S:
             skipped += 1
             continue
+        print(f"# point B={B} N={N} {dtype} {rest or ''} "
+              f"t={time.perf_counter() - t_start:.0f}s", file=_sys.stderr,
+              flush=True)
         p = bench_point(B, N, dtype, rest[0] if rest else None)
         if p is not None:
             points.append(p)
+    print(f"# sweep done t={time.perf_counter() - t_start:.0f}s "
+          f"(skipped {skipped}); torch baseline ...", file=_sys.stderr,
+          flush=True)
     assert points, "no operating point completed"
     # headline = best lists/s at the flagship N=128 shape (any point if the
     # flagship shape failed to run)
@@ -344,6 +351,8 @@ def main():
         baseline = bench_torch_cpu()
     except Exception:
         baseline = RECORDED_TORCH_CPU_LISTS_PER_S
+    print(f"# baseline done t={time.perf_counter() - t_start:.0f}s; "
+          f"real epochs ...", file=_sys.stderr, flush=True)
     try:
         if time.perf_counter() - t_start > 1.6 * BUDGET_S:
             epoch = {"skipped": "budget"}

@@ -19,9 +19,10 @@ Two questions from the round-3 verdict, one tool (run on the real chip):
    update is dtype-independent fp32 elementwise (HBM-bound). The observed
    ratio is the FLOP-weighted mix.
 
-Usage (real chip; ~2-4 min):
-    python -m tools.profile_step              # both experiments
+Usage (real chip; ~2-4 min per experiment):
+    python -m tools.profile_step              # all experiments
     python -m tools.profile_step sweep        # batch_docs sweep only
+    python -m tools.profile_step growth       # bucket_growth (padding) sweep
     python -m tools.profile_step ablate       # dtype ablation only
 
 Prints markdown tables (pasted into docs/performance.md + BASELINE.md) and
@@ -120,6 +121,52 @@ def sweep_batch_docs(batch_docs_list=(512, 1024, 2048, 4096, 8192),
     return rows
 
 
+# ----------------------------------------------------------- experiment 1b
+
+def sweep_bucket_growth(growths=(2.0, 1.5, 1.25), batch_docs_list=(512, 2048),
+                        num_queries=2000) -> list:
+    """Padding-occupancy lever (round 5): denser bucket widths cut padded
+    FLOPs (~0.75 -> ~0.89 occupancy on 20-250-doc ragged data at growth
+    1.25) at the cost of more compiled shapes. Same protocol as
+    sweep_batch_docs."""
+    from ptranking_tpu.data.dataset import BucketedDataset, make_synthetic_queries
+    from ptranking_tpu.data.device_cache import DeviceResidentDataset
+    from ptranking_tpu.models import ScorerConfig
+    from ptranking_tpu.train import AdhocRanker, OptimizerConfig
+
+    qs = make_synthetic_queries(num_queries=num_queries, num_features=F,
+                                seed=3, min_docs=20, max_docs=250)
+    total_docs = sum(len(l) for _, f, l in qs)
+    cfg = ScorerConfig.default_listsf(num_features=F, dropout=0.1,
+                                      compute_dtype="bfloat16")
+    rows = []
+    for bd in batch_docs_list:
+        for g in growths:
+            ds = BucketedDataset(qs, batch_docs=bd, bucket_growth=g)
+            res = DeviceResidentDataset(ds)
+            padded = sum(b * len(items)
+                         for b, items in ds._by_bucket.items() if items)
+            r = AdhocRanker("LambdaRank", cfg,
+                            opt_cfg=OptimizerConfig(opt="Adagrad", lr=1e-3)).init()
+            r.train_epoch_resident(res, 1)  # compile
+            ts = []
+            for e in (2, 3, 4, 5):
+                t0 = time.perf_counter()
+                r.train_epoch_resident(res, e)
+                ts.append(time.perf_counter() - t0)
+            dt = sorted(ts)[len(ts) // 2]
+            rows.append({
+                "batch_docs": bd, "growth": g,
+                "buckets": len(ds.buckets),
+                "occupancy": round(total_docs / padded, 3),
+                "train_lists_per_s": round(ds.num_queries / dt, 1),
+            })
+            print(f"bd={bd} growth={g}: {rows[-1]['train_lists_per_s']} "
+                  f"lists/s, occupancy {rows[-1]['occupancy']}, "
+                  f"{rows[-1]['buckets']} bucket shapes", flush=True)
+    return rows
+
+
 # ------------------------------------------------------------ experiment 2
 
 def ablate_step(B=512, N=128) -> dict:
@@ -203,6 +250,9 @@ def main(argv=None):
     if which in ("both", "sweep"):
         print("## batch_docs sweep (real-epoch protocol, resident, bf16)")
         report["sweep"] = sweep_batch_docs()
+    if which in ("both", "growth"):
+        print("## bucket_growth sweep (padding-occupancy lever)")
+        report["growth"] = sweep_bucket_growth()
     if which in ("both", "ablate"):
         print("## step ablation at the best point (B=512, N=128)")
         report["ablate"] = ablate_step()
