@@ -22,3 +22,24 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_prng_impl", "rbg")
 jax.config.update("jax_enable_x64", False)
 assert jax.devices()[0].platform == "cpu"
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled-executable memory at module boundaries.
+
+    The full suite compiles thousands of XLA-CPU programs in one process;
+    past ~135 tests the accumulated executables pushed RSS to where XLA's
+    compiler segfaulted (reproducibly at test_builtin_grid_run in-sequence,
+    never standalone). Dropping jit caches between modules bounds the
+    resident set; within-module reuse (per-fold compiled-step cache etc.)
+    is unaffected, cross-module shapes just retrace.
+    """
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
